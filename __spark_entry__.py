@@ -1,38 +1,342 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship main-content extraction at sf0.001;
+``queries()`` exposes one callable per implemented operator (SURVEY.md
+§2 + training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL. Column names and types are aligned on both sides (counts as
+BIGINT, floats rounded to fixed decimals at the output boundary).
 """
 
 from __future__ import annotations
 
+import sys
+import os
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transkribusdu_spark import relational as rel
+from transkribusdu_spark.ops import dedup, similarity, textstats
+from transkribusdu_spark.ops.multimodal import attach_media, extract_binary_features
+from transkribusdu_spark.pipeline.edges import build_edges
+from transkribusdu_spark.pipeline.extract import extract_text_spans
+from transkribusdu_spark.pipeline.features import edge_features, node_features
+from transkribusdu_spark.pipeline.model import edge_oracle_scores
+from transkribusdu_spark.pipeline.parse import parse_pages
+from transkribusdu_spark.pipeline.segment import connected_components
+from transkribusdu_spark.streaming.incremental import windowed_event_counts
+from transkribusdu_spark.synth import pages_from_documents
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Flagship
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Main-content extraction over synthesized Common-Crawl-style pages
+    at sf0.001: scan -> parse -> nodes -> reading order -> text+spans."""
+    sf_dir = "/root/testdata/sf0.001"
+    pages = pages_from_documents(spark, sf_dir)
+    ext = extract_text_spans(parse_pages(pages))
+    return ext.select("url", "doc_id", "extracted_text", F.size("spans").alias("n_spans"))
+
+
+# ---------------------------------------------------------------------------
+# Query registry
+# ---------------------------------------------------------------------------
+def _q_extract_main_text(spark, sf_dir):
+    ext = extract_text_spans(parse_pages(pages_from_documents(spark, sf_dir)))
+    return ext.select("doc_id", "extracted_text")
+
+
+def _q_extract_full_text(spark, sf_dir):
+    ext = extract_text_spans(parse_pages(pages_from_documents(spark, sf_dir)), labels=None)
+    return ext.select("doc_id", "extracted_text")
+
+
+def _q_parse_nodes(spark, sf_dir):
+    nodes = parse_pages(pages_from_documents(spark, sf_dir))
+    return nodes.groupBy("doc_id").agg(
+        F.count("*").alias("n_nodes"), F.max("page_cnt").cast("long").alias("n_pages")
+    )
+
+
+def _q_edges_hist(spark, sf_dir):
+    nodes = parse_pages(pages_from_documents(spark, sf_dir))
+    return build_edges(nodes).groupBy("etype").agg(F.count("*").alias("n"))
+
+
+def _q_cluster_cc(spark, sf_dir):
+    nodes = parse_pages(pages_from_documents(spark, sf_dir))
+    ef = edge_features(build_edges(nodes), nodes)
+    clusters = connected_components(nodes, edge_oracle_scores(ef))
+    return clusters.groupBy("url").agg(F.count("*").alias("n_clusters"))
+
+
+def _q_node_label_hist(spark, sf_dir):
+    nodes = parse_pages(pages_from_documents(spark, sf_dir))
+    return nodes.groupBy("label").agg(F.count("*").alias("n"))
+
+
+def _q_media_metadata(spark, sf_dir):
+    feats = extract_binary_features(attach_media(_docs(spark, sf_dir)))
+    return feats.select("doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "mime")
+
+
+def _q_knn(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    return similarity.knn_bruteforce(e, similarity.self_queries(e, 10), k=5)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    return similarity.ann_lsh(e, similarity.self_queries(e, 10), k=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- document pipeline (SURVEY §2.2/2.3/2.6/2.8: P*, J*, O2, C12) ---
+        "extract_main_text": _q_extract_main_text,
+        "extract_full_text": _q_extract_full_text,
+        "parse_nodes": _q_parse_nodes,
+        "edges_hist": _q_edges_hist,
+        "cluster_cc_oracle": _q_cluster_cc,
+        "node_label_hist": _q_node_label_hist,
+        # --- text analysis ---
+        "token_count": lambda s, d: textstats.token_count(_docs(s, d)),
+        "language_id": lambda s, d: textstats.language_id(_docs(s, d)),
+        "quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
+        "fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
+        # --- dedup ---
+        "exact_dedup": lambda s, d: dedup.exact_dedup(_docs(s, d)),
+        "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
+        "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        "simhash": lambda s, d: dedup.simhash(_docs(s, d)),
+        "simhash_near_pairs": lambda s, d: dedup.simhash_near_pairs(_docs(s, d)),
+        "embedding_near_dups": lambda s, d: dedup.embedding_near_dups(_emb(s, d)),
+        # --- similarity search ---
+        "knn_bruteforce": _q_knn,
+        "ann_lsh": _q_ann_lsh,
+        # --- multimodal plumbing ---
+        "media_metadata": _q_media_metadata,
+        # --- relational / aggregation coverage (SURVEY §2.5-2.7) ---
+        "label_histogram": rel.label_histogram,
+        "class_weights": rel.class_weights,
+        "n_chars_quartiles": rel.n_chars_quartiles,
+        "token_df_topk": rel.token_df_topk,
+        "lang_source_matrix": rel.lang_source_matrix,
+        "pricing_summary": rel.pricing_summary,
+        "revenue_by_nation": rel.revenue_by_nation,
+        "top_orders_by_revenue": rel.top_orders_by_revenue,
+        "first_events_per_user": rel.first_events_per_user,
+        "user_event_type_jaccard": rel.user_event_type_jaccard,
+        # --- event-time windowing (streaming-capable agg, batch parity) ---
+        "windowed_event_counts": lambda s, d: windowed_event_counts(
+            s.read.parquet(f"{d}/events.parquet")
+        ),
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+_MARKER_SQL = {
+    lang: ", ".join(f"'{m}'" for m in ms) for lang, ms in textstats.LANG_MARKERS.items()
+}
+_STOP_SQL = ", ".join(f"'{m}'" for m in textstats.EN_STOPWORDS)
+
+_SHINGLE_CTE = """
+with docs as (select doc_id, string_split(text,' ') toks from documents),
+sh as (select doc_id, unnest(list_distinct(
+         [toks[i]||' '||toks[i+1]||' '||toks[i+2] for i in range(1, len(toks)-1)])) as shingle
+       from docs where len(toks) >= 3),
+sizes as (select doc_id, count(*) sz from sh group by doc_id),
+inter as (select a.doc_id doc_a, b.doc_id doc_b, count(*) n_inter
+          from sh a join sh b using (shingle) where a.doc_id < b.doc_id
+          group by 1, 2)
+select doc_a, doc_b,
+       round(n_inter::double / (sa.sz + sb.sz - n_inter), 6) as jaccard
+from inter
+join sizes sa on sa.doc_id = doc_a
+join sizes sb on sb.doc_id = doc_b
+where round(n_inter::double / (sa.sz + sb.sz - n_inter), 6) >= 0.7
+"""
+
+_SIMHASH_CTE = """
+with tok as (select doc_id, unnest(string_split(text, ' ')) t from documents),
+h as (select doc_id, cast(('0x' || substr(md5(t), 1, 15)) as ubigint)::bigint h from tok),
+bits as (select doc_id, b,
+                sum(case when (h >> b) & 1 = 1 then 1 else -1 end) s
+         from h cross join (select unnest(range(60)) b) bb
+         group by doc_id, b),
+sig as (select doc_id,
+               sum(case when s > 0 then (1::bigint << b) else 0 end)::bigint simhash
+        from bits group by doc_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_main_text": "select doc_id, text as extracted_text from documents",
+        "token_count": """
+            select doc_id,
+                   len(string_split(text,' '))::bigint as n_tokens,
+                   list_sum(list_transform(string_split(text,' '),
+                            t -> cast(ceil(length(t)/4.0) as int)))::bigint as n_subwords,
+                   length(text)::bigint as n_chars_seen
+            from documents
+        """,
+        "language_id": f"""
+            with t as (select doc_id, string_split(text,' ') toks from documents),
+            s as (select doc_id,
+                  len(list_filter(toks, x -> x in ({_MARKER_SQL['de']})))::bigint s_de,
+                  len(list_filter(toks, x -> x in ({_MARKER_SQL['en']})))::bigint s_en,
+                  len(list_filter(toks, x -> x in ({_MARKER_SQL['fi']})))::bigint s_fi,
+                  len(list_filter(toks, x -> x in ({_MARKER_SQL['fr']})))::bigint s_fr
+                  from t),
+            x as (select doc_id, unnest([
+                    {{'lang': 'de', 's': s_de}}, {{'lang': 'en', 's': s_en}},
+                    {{'lang': 'fi', 's': s_fi}}, {{'lang': 'fr', 's': s_fr}}]) u from s),
+            r as (select doc_id, u.lang lang, u.s s,
+                         row_number() over (partition by doc_id order by u.s desc, u.lang asc) rn
+                  from x)
+            select doc_id, lang as pred_lang, s::bigint as marker_hits from r where rn = 1
+        """,
+        "quality_score": f"""
+            with t as (select doc_id, string_split(text,' ') toks from documents),
+            b as (select doc_id,
+                  len(toks)::bigint n_tokens,
+                  len(list_distinct(toks))::bigint n_distinct,
+                  len(list_filter(toks, x -> x in ({_STOP_SQL})))::bigint n_stop,
+                  round(list_sum(list_transform(toks, x -> length(x)))::double / len(toks), 6) mean_token_len
+                  from t)
+            select doc_id, n_tokens, mean_token_len,
+                   round(n_distinct::double / n_tokens, 6) type_token_ratio,
+                   round(n_stop::double / n_tokens, 6) stopword_frac,
+                   round((3 * least(n_tokens, 100) * n_tokens
+                          + 300 * n_distinct + 400 * n_stop)::double
+                         / (1000.0 * n_tokens), 6) quality
+            from b
+        """,
+        "fingerprint": """
+            select doc_id, md5(text) md5_text,
+                   md5(list_aggregate(list_sort(list_distinct(string_split(text,' '))),
+                                      'string_agg', ' ')) md5_normalized
+            from documents
+        """,
+        "exact_dedup": """
+            select md5(text) h, min(doc_id) keep_doc_id, count(*) group_size
+            from documents group by 1
+        """,
+        "ngram_jaccard_pairs": _SHINGLE_CTE,
+        "minhash_lsh_pairs": _SHINGLE_CTE,
+        "simhash": _SIMHASH_CTE + "select doc_id, simhash from sig",
+        "simhash_near_pairs": _SIMHASH_CTE + """
+            select a.doc_id doc_a, b.doc_id doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::bigint hamming
+            from sig a join sig b on a.doc_id < b.doc_id
+            where bit_count(xor(a.simhash, b.simhash)) <= 8
+        """,
+        "embedding_near_dups": """
+            with e as (select vec_id, embedding::double[] v from embeddings)
+            select a.vec_id vec_a, b.vec_id vec_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) cosine
+            from e a join e b on a.vec_id < b.vec_id
+            where round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        """,
+        "knn_bruteforce": """
+            with e as (select vec_id, embedding::double[] v from embeddings),
+            q as (select vec_id query_id, v qv from e order by vec_id limit 10),
+            s as (select query_id, vec_id,
+                         round(list_cosine_similarity(qv, v), 6) cosine
+                  from q cross join e where vec_id != query_id),
+            r as (select *, row_number() over
+                         (partition by query_id order by cosine desc, vec_id asc) rank
+                  from s)
+            select query_id, vec_id, cosine, rank::bigint rank from r where rank <= 5
+        """,
+        "media_metadata": """
+            select doc_id, octet_length(encode(text))::bigint n_bytes,
+                   'image/x-fake' mime
+            from documents
+        """,
+        "label_histogram": "select lang, count(*) n from documents group by lang",
+        "class_weights": """
+            with c as (select lang, count(*) c from documents group by lang),
+            t as (select count(*) tot from documents),
+            k as (select count(*) k from c),
+            w as (select lang, tot::double / (k * c) w_raw from c, t, k),
+            s as (select sum(w_raw) s from w)
+            select lang, round(w_raw * k / s, 6) weight from w, k, s
+        """,
+        "n_chars_quartiles": """
+            select round(quantile_cont(n_chars, 0.25), 6) q25,
+                   round(quantile_cont(n_chars, 0.5), 6) q50,
+                   round(quantile_cont(n_chars, 0.75), 6) q75
+            from documents
+        """,
+        "token_df_topk": """
+            with tok as (select doc_id, unnest(list_distinct(string_split(text,' '))) token
+                         from documents)
+            select token, count(*) df from tok group by token
+            order by df desc, token asc limit 20
+        """,
+        "lang_source_matrix": "select lang, source, count(*) n from documents group by lang, source",
+        "pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) sum_qty,
+                   round(sum(l_extendedprice), 2) sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) sum_charge,
+                   round(avg(l_quantity), 6) avg_qty,
+                   round(avg(l_discount), 6) avg_disc,
+                   count(*) count_order
+            from lineitem where l_shipdate <= timestamp '1998-09-02'
+            group by l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            select n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) revenue
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            join nation on c_nationkey = n_nationkey
+            group by n_name
+        """,
+        "top_orders_by_revenue": """
+            select o_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) revenue
+            from lineitem join orders on l_orderkey = o_orderkey
+            group by o_orderkey, o_orderdate
+            order by revenue desc, o_orderkey asc limit 10
+        """,
+        "first_events_per_user": """
+            with r as (select user_id, event_id, event_type,
+                              row_number() over (partition by user_id
+                                                 order by ts asc, event_id asc) rn
+                       from events)
+            select user_id, event_id, event_type, rn::bigint rn from r where rn <= 3
+        """,
+        "user_event_type_jaccard": """
+            with s as (select user_id, list_distinct(list(event_type)) s
+                       from events group by user_id)
+            select a.user_id user_id,
+                   round(len(list_intersect(a.s, b.s))::double
+                         / len(list_distinct(list_concat(a.s, b.s))), 6) jaccard_next_user
+            from s a join s b on b.user_id = a.user_id + 1
+        """,
+        "windowed_event_counts": """
+            select time_bucket(interval '1 hour', ts) window_start, event_type,
+                   count(*) n, round(sum(value), 6) sum_value
+            from events group by 1, 2
+        """,
+    }

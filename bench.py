@@ -1,0 +1,99 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The headline metric is the extraction path (scan -> parse -> nodes ->
+reading order -> text+spans), i.e. the north rule's throughput surface;
+the pages table is materialized to parquet once (input snapshot, not
+timed) so the timed job reads the same on-disk input every run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from transkribusdu_spark.ops import dedup, similarity, textstats
+from transkribusdu_spark.pipeline.edges import build_edges
+from transkribusdu_spark.pipeline.extract import extract_text_spans
+from transkribusdu_spark.pipeline.parse import parse_pages
+from transkribusdu_spark.relational import pricing_summary
+from transkribusdu_spark.session import build_session
+from transkribusdu_spark.synth import write_pages
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    spark = build_session(app_name="bench", master=f"local[{CPUS}]",
+                          shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0  # unknown scale label; timings still valid
+
+    tmp = tempfile.mkdtemp(prefix="bench_pages_")
+    pages_path = os.path.join(tmp, "pages")
+    try:
+        # Input snapshot (not timed): synthesize + write the pages table.
+        write_pages(spark, SF_DIR, pages_path, n_partitions=max(CPUS * 2, 16))
+        pages = spark.read.parquet(pages_path)
+        n_docs = pages.count()
+
+        timings: dict[str, float] = {}
+
+        def timed(name: str, fn) -> None:
+            t0 = time.monotonic()
+            fn()
+            timings[name] = round(time.monotonic() - t0, 3)
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+        # q1: flagship extraction (the north-rule surface).
+        timed("q1_extract", lambda: extract_text_spans(parse_pages(pages))
+              .agg(F.sum(F.length("extracted_text"))).collect())
+        # q2: parse + spatial edge building.
+        timed("q2_edges", lambda: build_edges(parse_pages(pages))
+              .groupBy("etype").count().collect())
+        # q3: MinHash-LSH dedup.
+        timed("q3_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs).count())
+        # q4: exact + simhash dedup.
+        timed("q4_simhash_pairs", lambda: dedup.simhash_near_pairs(docs).count())
+        # q5: brute-force knn.
+        timed("q5_knn", lambda: similarity.knn_bruteforce(
+            emb, similarity.self_queries(emb, 10), k=5).collect())
+        # q6: text analytics sweep.
+        timed("q6_textstats", lambda: textstats.quality_score(docs)
+              .agg(F.sum("quality")).collect())
+        # q7: relational pricing summary.
+        timed("q7_pricing", lambda: pricing_summary(spark, SF_DIR).collect())
+
+        extract_docs_per_sec = round(n_docs / timings["q1_extract"], 2)
+        total = round(sum(timings.values()), 3)
+        print(json.dumps({
+            "metric": "headline_suite_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "docs": n_docs,
+            "extract_docs_per_sec": extract_docs_per_sec,
+            "cpus": CPUS,
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

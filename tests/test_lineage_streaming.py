@@ -1,0 +1,74 @@
+"""Resumability (kill-and-rerun) + incremental streaming extraction."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from transkribusdu_spark.pipeline.extract import extract_text_spans
+from transkribusdu_spark.pipeline.lineage import (
+    pending_pages,
+    run_with_lineage,
+    verify_lineage,
+)
+from transkribusdu_spark.pipeline.parse import parse_pages
+from transkribusdu_spark.streaming.incremental import stream_extract, windowed_event_counts
+from transkribusdu_spark.synth import pages_from_documents
+
+
+def test_kill_and_rerun_resumes(spark, sf_dir, tmp_path):
+    out_dir = str(tmp_path / "out")
+    pages = pages_from_documents(spark, sf_dir).cache()
+    total = pages.count()
+
+    # "Killed" first run: only half the documents got written.
+    half = pages.filter(
+        (F.regexp_extract("url", r"(\d+)$", 1).cast("long") % 2) == 0
+    )
+    run_with_lineage(extract_text_spans(parse_pages(half)), out_dir, run_id="r1")
+
+    # Resume: only the missing half is pending.
+    todo = pending_pages(spark, pages, out_dir)
+    n_todo = todo.count()
+    assert n_todo == total - half.count()
+
+    run_with_lineage(extract_text_spans(parse_pages(todo)), out_dir, run_id="r2")
+    status = verify_lineage(spark, out_dir, expected_docs=total)
+    assert status["complete"], status
+    assert status["distinct_urls"] == total
+    # rerun again: nothing pending (idempotent)
+    assert pending_pages(spark, pages, out_dir).count() == 0
+
+
+def test_lineage_rows_written(spark, sf_dir, tmp_path):
+    out_dir = str(tmp_path / "out2")
+    pages = pages_from_documents(spark, sf_dir)
+    run_with_lineage(extract_text_spans(parse_pages(pages)), out_dir, run_id="runA")
+    lin = spark.read.parquet(os.path.join(out_dir, "lineage"))
+    rows = lin.collect()
+    assert all(r.run_id == "runA" for r in rows)
+    assert sum(r.doc_count for r in rows) == pages.count()
+    assert all(len(r.checksum) == 16 for r in rows)
+
+
+def test_stream_extract_available_now(spark, sf_dir, tmp_path):
+    pages_dir = str(tmp_path / "pages_stream")
+    out_dir = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = pages_from_documents(spark, sf_dir).limit(50)
+    pages.write.mode("overwrite").parquet(pages_dir)
+
+    q = stream_extract(spark, pages_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 50
+    # Rerun with no new files: checkpoint means nothing is reprocessed.
+    q2 = stream_extract(spark, pages_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 50
+
+
+def test_windowed_event_counts_batch(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(ev)
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == ev.count()

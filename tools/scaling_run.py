@@ -1,0 +1,92 @@
+"""Two-parallelism scaling evidence (BASELINE.md protocol).
+
+No real cluster exists in this sandbox, so the north rule's N vs 4N
+executor criterion is evidenced by running the identical bench job at
+local[8] and local[32] on the same input snapshot; efficiency =
+throughput(4N) / (4 * throughput(N)). Writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import platform
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SCALING_RUNS", "3"))
+
+
+def bench(cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=1800, check=True,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    results: dict[int, list[dict]] = {}
+    for cpus in (8, 32):
+        results[cpus] = [bench(cpus) for _ in range(RUNS)]
+        print(f"local[{cpus}]: " + json.dumps(results[cpus][-1]))
+
+    def med(cpus: int, key: str) -> float:
+        return statistics.median(r[key] for r in results[cpus])
+
+    t8 = med(8, "extract_docs_per_sec")
+    t32 = med(32, "extract_docs_per_sec")
+    eff = t32 / (4 * t8)
+    ncpu = os.cpu_count()
+    mem_gib = round(os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30)
+    docs = results[32][0]["docs"]
+
+    lines = [
+        "# BENCH — measured throughput & scaling efficiency",
+        "",
+        f"Machine: {platform.machine()} Linux, {ncpu} cores, {mem_gib} GiB RAM; "
+        f"single JVM, `local[k]` stands in for k executors (no real cluster in "
+        f"this sandbox — see BASELINE.md).",
+        f"Input snapshot: pages table synthesized from `{SF_DIR}` "
+        f"({docs} documents), written to parquet before timing; "
+        f"{RUNS} runs per level, medians reported.",
+        "",
+        "| parallelism | extraction docs/sec (median) | headline suite sec (median) |",
+        "|---|---|---|",
+        f"| local[8] (N) | {t8:.2f} | {med(8, 'value'):.2f} |",
+        f"| local[32] (4N) | {t32:.2f} | {med(32, 'value'):.2f} |",
+        "",
+        f"**Scaling efficiency (extraction): {t32:.2f} / (4 x {t8:.2f}) = "
+        f"{eff:.3f}**  (target >= 0.8)",
+        "",
+        "Per-query medians (seconds):",
+        "",
+        "| query | local[8] | local[32] |",
+        "|---|---|---|",
+    ]
+    qnames = results[8][0]["queries"].keys()
+    for q in qnames:
+        m8 = statistics.median(r["queries"][q] for r in results[8])
+        m32 = statistics.median(r["queries"][q] for r in results[32])
+        lines.append(f"| {q} | {m8:.2f} | {m32:.2f} |")
+    lines += [
+        "",
+        "Raw runs:",
+        "```json",
+        *[json.dumps(r) for c in (8, 32) for r in results[c]],
+        "```",
+        "",
+    ]
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines))
+    print(f"efficiency={eff:.3f} -> BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,262 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families (all over the ``documents`` table):
+
+- exact:       md5 hash-groupBy, keep min doc_id per group
+- ngram-jaccard: exact word-3-gram Jaccard pairs via shingle inverted
+                 index (explode -> equi-join -> count); at 100 TB this is
+                 the verification stage behind LSH candidates
+- minhash+LSH: 64 permutations, 16 bands x 4 rows, band-bucket join for
+               candidates, exact-Jaccard verification of candidates only
+- simhash:     60-bit simhash over md5 token hashes (cross-engine exact)
+- embedding:   cosine near-duplicates over the embeddings table
+
+Scale notes: the shingle inverted index prunes hot shingles
+(doc-frequency cap) so the candidate join cannot blow up on boilerplate
+shingles; MinHash bands shuffle once on (band, signature) — the classic
+sub-quadratic path; everything else is groupBy/join that AQE handles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.7
+MINHASH_PERMS = 64
+LSH_BANDS = 16  # 16 bands x 4 rows
+# Mersenne prime 2^31-1: products a*h stay < 2^62, safe under ANSI
+# int64 arithmetic (no overflow, no bigint emulation needed).
+MERSENNE_P = (1 << 31) - 1
+COSINE_DUP_THRESHOLD = 0.45
+
+# Deterministic permutation parameters (fixed, not RNG-dependent, so the
+# signature is reproducible across runs and engines).
+_PERM_A = [(2 * i + 1) * 0x9E3779B97F4A7C15 % MERSENNE_P for i in range(MINHASH_PERMS)]
+_PERM_B = [(i + 1) * 0xC2B2AE3D27D4EB4F % MERSENNE_P for i in range(MINHASH_PERMS)]
+
+
+def docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup on full text: one survivor (min doc_id) per md5 group."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("group_size"))
+    )
+
+
+def _shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """doc_id -> exploded distinct word n-gram shingles."""
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD, n: int = SHINGLE_N,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similar pairs (doc_a < doc_b).
+
+    Inverted-index formulation: |A∩B| from a self-equi-join on shingle,
+    set sizes from a groupBy — never an all-pairs cross join. At scale,
+    ``max_shingle_df`` drops shingles appearing in more than k documents
+    (boilerplate) before the join, the standard hot-key guard.
+    """
+    sh = _shingles(docs, n)
+    if max_shingle_df:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """64-perm MinHash signature per doc (array<long>), JVM-side.
+
+    Base shingle hash = xxhash64 (stable within Spark); permutations
+    h_i = (a_i * h + b_i) mod (2^61 - 1), minimum over shingles.
+    """
+    sh = _shingles(docs, n).withColumn(
+        "h", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
+    )
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))).alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(MINHASH_PERMS)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD, n: int = SHINGLE_N
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    Banding: 16 bands of 4 rows; candidates = pairs sharing any band
+    bucket (shuffle once on the band hash — the sub-quadratic scale
+    path); then exact Jaccard is computed only for candidates.
+    """
+    sig = minhash_signatures(docs, n)
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.hash(*[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]).alias("bucket"),
+                    )
+                    for bi in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Verify candidates with exact Jaccard on distinct shingle sets.
+    sets = _shingles(docs, n).groupBy("doc_id").agg(F.collect_set("shingle").alias("s"))
+    verified = (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.size("sa") + F.size("sb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
+    """60-bit SimHash over word tokens (with multiplicity).
+
+    Token hash = first 15 hex chars of md5 (identical in DuckDB, so the
+    oracle can reproduce the signature bit-for-bit). Bit b of the
+    signature is 1 iff sum over tokens of (+1 if bit b set else -1) > 0.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).withColumn("h", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long"))
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = sums.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(bits)],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return sig
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, bits: int = 60) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= k.
+
+    Scale path: block on 10 6-bit chunks — by pigeonhole any pair with
+    Hamming distance <= 9 shares at least one chunk, so recall is exact
+    for max_hamming <= 9 without an all-pairs join.
+    """
+    if max_hamming > 9:
+        raise ValueError("chunk blocking guarantees recall only for max_hamming <= 9")
+    sig = simhash(docs, bits)
+    n_chunks, chunk = 10, 6  # 60 bits -> 10 chunks of 6
+    blocks = sig.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright("simhash", i * chunk).bitwiseAND(F.lit((1 << chunk) - 1)).alias("cv"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.ci", "c.cv")
+    cand = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), ["ci", "cv"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
+    return dot / (na * nb)
+
+
+def embedding_near_dups(embeddings: DataFrame, threshold: float = COSINE_DUP_THRESHOLD) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b).
+
+    Brute-force formulation here is the *verification* kernel; the scale
+    path buckets by random-hyperplane LSH first (see
+    ops/similarity.ann_lsh) so the join is per-bucket, not all-pairs.
+    """
+    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(_cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

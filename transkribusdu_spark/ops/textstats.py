@@ -1,0 +1,106 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, language ID, quality scoring, document fingerprinting.
+
+All operators are pure built-in-function column expressions (JVM-side,
+whole-stage codegen; no Python) with deterministic semantics that a SQL
+oracle can reproduce exactly. Floats are rounded to 6 decimals at the
+output boundary so cross-engine comparison is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Deterministic marker-token sets for the n-gram/stopword language
+# heuristic. Tie-break: max count, then lexicographic language code.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "ist"),
+    "en": ("the", "a", "of", "and"),
+    "fi": ("ja", "on", "ei", "se"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy count
+    (4-char chunks per token, ceil) — both closed-form."""
+    toks = F.split(F.col("text"), " ")
+    n_sub = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        n_sub.cast("long").alias("n_subwords"),
+        F.length("text").cast("long").alias("n_chars_seen"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Marker-token language heuristic with deterministic tie-break."""
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select("doc_id", toks.alias("toks"))
+    for lang, markers in LANG_MARKERS.items():
+        cnt = F.size(F.filter("toks", lambda t: t.isin(*markers)))
+        scored = scored.withColumn(f"s_{lang}", cnt)
+    # argmax with lexicographic tiebreak: compare (score, reversed-lang)
+    best = None
+    for lang in sorted(LANG_MARKERS):
+        cand = F.struct(F.col(f"s_{lang}").alias("s"), F.lit(lang).alias("lang"))
+        if best is None:
+            best = cand
+        else:
+            # strictly greater wins; ties keep earlier (lexicographically
+            # smaller) language
+            best = F.when(cand["s"] > best["s"], cand).otherwise(best)
+    return scored.select(
+        "doc_id", best["lang"].alias("pred_lang"), best["s"].cast("long").alias("marker_hits")
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Deterministic quality heuristics: length, mean token length,
+    type-token ratio, stopword fraction, and a composite score."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    mean_len = F.round(
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n, 6
+    )
+    ttr = F.round(n_distinct.cast("double") / n, 6)
+    stop = F.round(n_stop.cast("double") / n, 6)
+    # Composite as a single integer-rational division (0.3*min(n,100)/100
+    # + 0.3*ttr + 0.4*stop with common denominator 1000n): one double op,
+    # so both engines see the identical IEEE value before rounding —
+    # summing *rounded* components instead lands exactly on .5e-6
+    # boundaries where engine rounding modes disagree.
+    num = (F.lit(3) * F.least(n, F.lit(100)) * n + F.lit(300) * n_distinct + F.lit(400) * n_stop)
+    score = F.round(num.cast("double") / (F.lit(1000.0) * n), 6)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        ttr.alias("type_token_ratio"),
+        stop.alias("stopword_frac"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Content fingerprints: full-text md5 plus a normalized (sorted
+    unique tokens) fingerprint — the classic dedup canonicalization."""
+    toks = F.split(F.col("text"), " ")
+    norm = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("md5_text"),
+        F.md5(norm).alias("md5_normalized"),
+    )

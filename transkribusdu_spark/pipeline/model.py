@@ -1,0 +1,94 @@
+"""Scoring models: node labeling + conjugate edge (continue/break) scoring.
+
+Reference semantics (SURVEY.md §2.9): the CRF/ECN models are replaced —
+per the north rule — by logistic models over the same features (the
+reference's own baseline, M6: ``graph/GraphModel.py:324-390``,
+``gcn/gcn_models.py:297-438``), plus the *edge oracle* mode (M8,
+``tasks/DU_Task.py:813-818``): an edge is ``break`` iff its endpoint
+labels differ — used to validate clustering independently of a trained
+model, exactly as the reference does.
+
+Spark-first: training is ``spark.ml`` LogisticRegression (distributed
+L-BFGS over the executors); inference stays JVM-side (no Python).
+Fitted coefficients are tiny and broadcast implicitly by the ML
+transformer — the analogue of the reference's pickled-model load.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import LogisticRegression, LogisticRegressionModel
+from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import MAIN_CONTENT_LABELS
+from .features import EDGE_FEATURE_COLS, NODE_FEATURE_COLS
+
+
+# ---------------------------------------------------------------------------
+# Edge oracle (M8) — ground-truth edge labels from node labels.
+# ---------------------------------------------------------------------------
+def edge_oracle_scores(edge_feats: DataFrame) -> DataFrame:
+    """p_break = 1 iff endpoint labels differ (reference
+    ``GraphBinaryConjugateSegmenter.computeEdgeLabels``)."""
+    brk = (F.col("src_label") != F.col("dst_label")).cast("double")
+    return edge_feats.select(
+        "url", "src", "dst",
+        (F.lit(1.0) - brk).alias("p_continue"),
+        brk.alias("p_break"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Node classifier: main-content vs boilerplate (M6 over node features).
+# ---------------------------------------------------------------------------
+def _assemble(df: DataFrame, cols: list[str]) -> DataFrame:
+    return VectorAssembler(inputCols=cols, outputCol="features", handleInvalid="keep").transform(df)
+
+
+def train_node_classifier(node_feats: DataFrame, label_col: str = "label",
+                          reg_param: float = 0.01) -> LogisticRegressionModel:
+    """Binary main-content classifier trained on nf_* features with
+    ground-truth labels (distributed fit; labels from the synthesizer
+    play the role of the reference's annotated PageXML)."""
+    train = node_feats.withColumn(
+        "y", F.col(label_col).isin(list(MAIN_CONTENT_LABELS)).cast("double")
+    )
+    train = _assemble(train, NODE_FEATURE_COLS)
+    lr = LogisticRegression(featuresCol="features", labelCol="y", regParam=reg_param, maxIter=50)
+    return lr.fit(train)
+
+
+def predict_nodes(model: LogisticRegressionModel, node_feats: DataFrame) -> DataFrame:
+    """JVM-side inference; emits predicted label + probability column
+    (the reference's ``@DU_Y`` proba attribute analogue, P7)."""
+    scored = model.transform(_assemble(node_feats, NODE_FEATURE_COLS))
+    return scored.withColumn(
+        "pred_label",
+        F.when(F.col("prediction") == 1.0, F.lit("main")).otherwise(F.lit("boilerplate")),
+    ).withColumn("y_proba", vector_to_array(F.col("probability"))).drop(
+        "features", "rawPrediction", "probability", "prediction"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edge classifier: continue/break over ef_* features (conjugate mode).
+# ---------------------------------------------------------------------------
+def train_edge_classifier(edge_feats: DataFrame, reg_param: float = 0.01) -> LogisticRegressionModel:
+    train = edge_feats.withColumn(
+        "y", (F.col("src_label") != F.col("dst_label")).cast("double")
+    )
+    train = _assemble(train, EDGE_FEATURE_COLS)
+    lr = LogisticRegression(featuresCol="features", labelCol="y", regParam=reg_param, maxIter=50)
+    return lr.fit(train)
+
+
+def predict_edges(model: LogisticRegressionModel, edge_feats: DataFrame) -> DataFrame:
+    scored = model.transform(_assemble(edge_feats, EDGE_FEATURE_COLS))
+    proba = vector_to_array(F.col("probability"))
+    return scored.select(
+        "url", "src", "dst",
+        proba.getItem(0).alias("p_continue"),
+        proba.getItem(1).alias("p_break"),
+    )
