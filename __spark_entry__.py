@@ -19,14 +19,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transkribusdu_spark import relational as rel
+from transkribusdu_spark.functions.xycut import page_coverage_profile
 from transkribusdu_spark.ops import dedup, similarity, textstats
 from transkribusdu_spark.ops.multimodal import attach_media, extract_binary_features
-from transkribusdu_spark.pipeline.edges import build_edges
+from transkribusdu_spark.pipeline.conjugate import dual_graph
+from transkribusdu_spark.pipeline.edges import build_edges, edges_from_pages
 from transkribusdu_spark.pipeline.extract import extract_text_spans
-from transkribusdu_spark.pipeline.features import edge_features, node_features
+from transkribusdu_spark.pipeline.features import edge_features, fit_tfidf_vocab, node_features
 from transkribusdu_spark.pipeline.model import edge_oracle_scores
 from transkribusdu_spark.pipeline.parse import parse_pages
-from transkribusdu_spark.pipeline.segment import connected_components
+from transkribusdu_spark.pipeline.segment import agglomerative_clusters, connected_components
+from transkribusdu_spark.plans.salting import docs_per_host_salted
 from transkribusdu_spark.streaming.incremental import windowed_event_counts
 from transkribusdu_spark.synth import pages_from_documents
 
@@ -88,6 +91,32 @@ def _q_node_label_hist(spark, sf_dir):
     return nodes.groupBy("label").agg(F.count("*").alias("n"))
 
 
+def _q_cluster_agglo(spark, sf_dir):
+    nodes = parse_pages(pages_from_documents(spark, sf_dir))
+    ef = edge_features(build_edges(nodes), nodes)
+    clusters = agglomerative_clusters(nodes, edge_oracle_scores(ef))
+    return clusters.groupBy("url").agg(F.count("*").alias("n_clusters"))
+
+
+def _q_dual_graph(spark, sf_dir):
+    edges = edges_from_pages(pages_from_documents(spark, sf_dir))
+    return dual_graph(edges).groupBy("url").agg(F.count("*").alias("n_dual_edges"))
+
+
+def _q_page_coverage(spark, sf_dir):
+    nodes = parse_pages(pages_from_documents(spark, sf_dir))
+    return page_coverage_profile(nodes)
+
+
+def _q_docs_per_host(spark, sf_dir):
+    return docs_per_host_salted(pages_from_documents(spark, sf_dir))
+
+
+def _q_tfidf_vocab(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return fit_tfidf_vocab(docs, n=3, max_features=100)
+
+
 def _q_media_metadata(spark, sf_dir):
     feats = extract_binary_features(attach_media(_docs(spark, sf_dir)))
     return feats.select("doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "mime")
@@ -111,7 +140,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_nodes": _q_parse_nodes,
         "edges_hist": _q_edges_hist,
         "cluster_cc_oracle": _q_cluster_cc,
+        "cluster_agglo_oracle": _q_cluster_agglo,
+        "dual_graph_sizes": _q_dual_graph,
+        "page_coverage": _q_page_coverage,
+        "docs_per_host_salted": _q_docs_per_host,
         "node_label_hist": _q_node_label_hist,
+        # --- fits (cross-document aggregations) ---
+        "tfidf_vocab": _q_tfidf_vocab,
         # --- text analysis ---
         "token_count": lambda s, d: textstats.token_count(_docs(s, d)),
         "language_id": lambda s, d: textstats.language_id(_docs(s, d)),
@@ -233,6 +268,21 @@ def oracle_sql() -> dict[str, str]:
                    md5(list_aggregate(list_sort(list_distinct(string_split(text,' '))),
                                       'string_agg', ' ')) md5_normalized
             from documents
+        """,
+        "tfidf_vocab": """
+            with t as (select doc_id, lower(text) s, count(*) over () total
+                       from documents),
+            g as (select doc_id, total,
+                         unnest(list_distinct([substr(s, i, 3)
+                                for i in range(1, length(s) - 1)])) ngram
+                  from t where length(s) >= 3),
+            c as (select ngram, count(*) df, any_value(total) total
+                  from g group by ngram
+                  order by df desc, ngram asc limit 100)
+            select ngram, df,
+                   (row_number() over (order by df desc, ngram asc) - 1)::bigint idx,
+                   round(ln((total + 1.0) / (df + 1.0)) + 1.0, 6) idf
+            from c
         """,
         "exact_dedup": """
             select md5(text) h, min(doc_id) keep_doc_id, count(*) group_size

@@ -2,9 +2,17 @@
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
 The headline metric is the extraction path (scan -> parse -> nodes ->
-reading order -> text+spans), i.e. the north rule's throughput surface;
-the pages table is materialized to parquet once (input snapshot, not
-timed) so the timed job reads the same on-disk input every run.
+reading order -> text+spans), i.e. the north rule's throughput surface.
+Protocol details for fair N-vs-4N comparison:
+
+- input snapshot: the pages table is parquet on disk with a FIXED
+  partition count (64), either pre-written (SPARK_GRAFT_PAGES_DIR) or
+  synthesized once per run (untimed) — both parallelism levels read
+  byte-identical input;
+- SPARK_GRAFT_BENCH_MULT (default 10) amplifies the corpus so jobs are
+  compute-bound, not startup-bound;
+- each query runs twice and reports the second (steady-state) time, so
+  JIT/codegen/page-cache warmup does not pollute the scaling ratio.
 """
 
 from __future__ import annotations
@@ -21,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 from transkribusdu_spark.ops import dedup, similarity, textstats
-from transkribusdu_spark.pipeline.edges import build_edges
+from transkribusdu_spark.pipeline.edges import edges_from_pages
 from transkribusdu_spark.pipeline.extract import extract_text_spans
 from transkribusdu_spark.pipeline.parse import parse_pages
 from transkribusdu_spark.relational import pricing_summary
@@ -30,6 +38,9 @@ from transkribusdu_spark.synth import write_pages
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "10"))
+PAGES_DIR = os.environ.get("SPARK_GRAFT_PAGES_DIR", "")
+SNAPSHOT_PARTITIONS = 64
 
 
 def main() -> None:
@@ -41,17 +52,22 @@ def main() -> None:
     except ValueError:
         sf = -1.0  # unknown scale label; timings still valid
 
-    tmp = tempfile.mkdtemp(prefix="bench_pages_")
-    pages_path = os.path.join(tmp, "pages")
+    tmp = None
+    if PAGES_DIR:
+        pages_path = PAGES_DIR
+    else:
+        tmp = tempfile.mkdtemp(prefix="bench_pages_")
+        pages_path = os.path.join(tmp, "pages")
+        write_pages(spark, SF_DIR, pages_path,
+                    n_partitions=SNAPSHOT_PARTITIONS, multiplier=MULT)
     try:
-        # Input snapshot (not timed): synthesize + write the pages table.
-        write_pages(spark, SF_DIR, pages_path, n_partitions=max(CPUS * 2, 16))
         pages = spark.read.parquet(pages_path)
         n_docs = pages.count()
 
         timings: dict[str, float] = {}
 
         def timed(name: str, fn) -> None:
+            fn()  # warmup: JIT, codegen cache, page cache
             t0 = time.monotonic()
             fn()
             timings[name] = round(time.monotonic() - t0, 3)
@@ -62,12 +78,12 @@ def main() -> None:
         # q1: flagship extraction (the north-rule surface).
         timed("q1_extract", lambda: extract_text_spans(parse_pages(pages))
               .agg(F.sum(F.length("extracted_text"))).collect())
-        # q2: parse + spatial edge building.
-        timed("q2_edges", lambda: build_edges(parse_pages(pages))
+        # q2: parse + spatial edge building (fused map-only path).
+        timed("q2_edges", lambda: edges_from_pages(pages)
               .groupBy("etype").count().collect())
         # q3: MinHash-LSH dedup.
         timed("q3_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs).count())
-        # q4: exact + simhash dedup.
+        # q4: simhash near-dup pairs.
         timed("q4_simhash_pairs", lambda: dedup.simhash_near_pairs(docs).count())
         # q5: brute-force knn.
         timed("q5_knn", lambda: similarity.knn_bruteforce(
@@ -89,9 +105,11 @@ def main() -> None:
             "docs": n_docs,
             "extract_docs_per_sec": extract_docs_per_sec,
             "cpus": CPUS,
+            "mult": MULT,
         }))
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if tmp:
+            shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
 
 

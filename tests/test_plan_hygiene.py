@@ -1,0 +1,63 @@
+"""Plan hygiene: the physical plans must stay the plans we designed —
+pruned scans, single shuffle for extraction, broadcast joins for small
+dims. Regressions here are scale bugs even when results stay correct."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from transkribusdu_spark.pipeline.extract import extract_text_spans
+from transkribusdu_spark.pipeline.parse import parse_pages
+from transkribusdu_spark.relational import pricing_summary, revenue_by_nation
+from transkribusdu_spark.synth import pages_from_documents
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _full(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_extraction_scan_pruned_and_single_shuffle(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="plan_pages_")
+    pages_from_documents(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+    pages = spark.read.parquet(tmp)
+    ext = extract_text_spans(parse_pages(pages))
+    plan = _full(ext.agg(F.sum(F.length("extracted_text"))))
+    # Column pruning: the parquet scan must read ONLY url + html.
+    assert "struct<url:string,html:binary>" in plan, "scan not pruned to url+html"
+    # The extraction path itself must shuffle exactly once (on url); the
+    # final scalar agg adds one more exchange, so total <= 2.
+    n_exchanges = _physical(ext.agg(F.sum(F.length("extracted_text")))).count("Exchange ")
+    assert n_exchanges <= 2, f"extraction plan has {n_exchanges} exchanges"
+
+
+def test_revenue_join_broadcasts_nation(spark, sf_dir):
+    plan = _physical(revenue_by_nation(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "nation dim not broadcast"
+
+
+def test_pricing_summary_filter_pushdown(spark, sf_dir):
+    plan = _full(pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, (
+        "shipdate filter not pushed to parquet scan"
+    )
+    # partial aggregation (map-side combine) must be present
+    assert plan.count("HashAggregate") >= 2, "no partial+final aggregation"
+
+
+def test_extraction_is_whole_stage_codegen_after_udf(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="plan_pages2_")
+    pages_from_documents(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+    pages = spark.read.parquet(tmp)
+    ext = extract_text_spans(parse_pages(pages))
+    agg = ext.agg(F.sum(F.length("extracted_text")))
+    agg.collect()  # run it so AQE finalizes the plan (codegen visible)
+    phys = _physical(agg).split("== Initial Plan ==")[0]  # final plan only
+    # '*(n)' prefixes mark WholeStageCodegen stages in the final plan
+    assert "*(" in phys or "WholeStageCodegen" in phys, "relational glue fell out of codegen"
+    # exactly one Python boundary: the parse UDF
+    assert phys.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in phys, "row-at-a-time Python UDF crept in"

@@ -18,10 +18,27 @@ import platform
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SCALING_RUNS", "3"))
+MULT = os.environ.get("SPARK_GRAFT_BENCH_MULT", "10")
 
 
-def bench(cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+def _write_snapshot(pages_dir: str) -> None:
+    """Write the shared input snapshot ONCE so both parallelism levels
+    read byte-identical, identically-partitioned input."""
+    code = (
+        "import sys; sys.path.insert(0, %r);"
+        "from transkribusdu_spark.session import build_session;"
+        "from transkribusdu_spark.synth import write_pages;"
+        "s = build_session(master='local[32]');"
+        "s.sparkContext.setLogLevel('ERROR');"
+        "write_pages(s, %r, %r, n_partitions=64, multiplier=%s);"
+        "s.stop()" % (REPO, SF_DIR, pages_dir, MULT)
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=1800)
+
+
+def bench(cpus: int, pages_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR,
+               SPARK_GRAFT_PAGES_DIR=pages_dir, SPARK_GRAFT_BENCH_MULT=MULT)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=1800, check=True,
@@ -31,9 +48,14 @@ def bench(cpus: int) -> dict:
 
 
 def main() -> None:
+    import tempfile
+
+    snap = tempfile.mkdtemp(prefix="scaling_pages_")
+    pages_dir = os.path.join(snap, "pages")
+    _write_snapshot(pages_dir)
     results: dict[int, list[dict]] = {}
     for cpus in (8, 32):
-        results[cpus] = [bench(cpus) for _ in range(RUNS)]
+        results[cpus] = [bench(cpus, pages_dir) for _ in range(RUNS)]
         print(f"local[{cpus}]: " + json.dumps(results[cpus][-1]))
 
     def med(cpus: int, key: str) -> float:

@@ -84,10 +84,10 @@ def _los_pass(
     n = len(ids)
     if n < 2:
         return
-    ga1 = np.array([_g(v) for v in a1])
-    ga2 = np.array([_g(v) for v in a2])
-    gb1 = np.array([_g(v) for v in b1])
-    gb2 = np.array([_g(v) for v in b2])
+    ga1 = np.round(a1 / GRID) * GRID
+    ga2 = np.round(a2 / GRID) * GRID
+    gb1 = np.round(b1 / GRID) * GRID
+    gb2 = np.round(b2 / GRID) * GRID
     # Sweep order: by start of sweep axis, then overlap axis (determinism).
     order = np.lexsort((ga1, gb1))
     for ii in range(n):
@@ -126,45 +126,113 @@ def _box_iou(x1a, y1a, x2a, y2a, x1b, y1b, x2b, y2b) -> float:
     return inter / ua if ua > 0 else 0.0
 
 
-def doc_edges(pdf: pd.DataFrame) -> pd.DataFrame:
-    """All edges for one document's nodes (pure pandas/numpy; unit-testable)."""
-    out: list[dict] = []
-    url = pdf["url"].iloc[0] if len(pdf) else None
-    for pnum, page in pdf.groupby("page_num", sort=True):
-        ids = page["node_id"].to_numpy()
-        x1 = page["x1"].to_numpy(dtype=np.float64)
-        y1 = page["y1"].to_numpy(dtype=np.float64)
-        x2 = page["x2"].to_numpy(dtype=np.float64)
-        y2 = page["y2"].to_numpy(dtype=np.float64)
-        # Vertical: overlap on x, sweep on y.
-        for i, j, length, ov, iou in _los_pass(ids, x1, x2, y1, y2):
-            out.append(
-                dict(url=url, page_num=int(pnum), src=ids[i], dst=ids[j],
-                     etype="V", length=length, overlap=ov, iou=iou)
-            )
-        # Horizontal: overlap on y, sweep on x.
-        for i, j, length, ov, iou in _los_pass(ids, y1, y2, x1, x2):
-            out.append(
-                dict(url=url, page_num=int(pnum), src=ids[i], dst=ids[j],
-                     etype="H", length=length, overlap=ov, iou=iou)
-            )
-    # Cross-page: consecutive pages, box IoU >= threshold
-    # (significantOverlap, graph/Block.py:212-278; N is small per page).
-    pages = {int(p): g for p, g in pdf.groupby("page_num", sort=True)}
-    for pnum in sorted(pages):
-        if pnum + 1 not in pages:
+def doc_edges_arrays(
+    url: str,
+    node_id: np.ndarray,
+    page_num: np.ndarray,
+    x1: np.ndarray,
+    y1: np.ndarray,
+    x2: np.ndarray,
+    y2: np.ndarray,
+    out: dict[str, list],
+) -> None:
+    """Edge kernel over plain numpy arrays for one document; appends to
+    ``out`` column lists (dict-of-lists beats list-of-dicts ~10x in the
+    Arrow batch path)."""
+    pages = np.unique(page_num)
+    page_rows = {int(p): np.nonzero(page_num == p)[0] for p in pages}
+    for p in pages:
+        rows = page_rows[int(p)]
+        ids = node_id[rows]
+        px1, py1, px2, py2 = x1[rows], y1[rows], x2[rows], y2[rows]
+        for etype, a1, a2, b1, b2 in (("V", px1, px2, py1, py2), ("H", py1, py2, px1, px2)):
+            for i, j, length, ov, iou in _los_pass(ids, a1, a2, b1, b2):
+                out["url"].append(url)
+                out["page_num"].append(int(p))
+                out["src"].append(ids[i])
+                out["dst"].append(ids[j])
+                out["etype"].append(etype)
+                out["length"].append(length)
+                out["overlap"].append(ov)
+                out["iou"].append(iou)
+    # Cross-page: consecutive pages, box IoU >= threshold, fully
+    # vectorized (significantOverlap, graph/Block.py:212-278).
+    for p in pages:
+        if int(p) + 1 not in page_rows:
             continue
-        a, b = pages[pnum], pages[pnum + 1]
-        for _, ra in a.iterrows():
-            for _, rb in b.iterrows():
-                iou = _box_iou(ra.x1, ra.y1, ra.x2, ra.y2, rb.x1, rb.y1, rb.x2, rb.y2)
-                if iou >= CROSS_PAGE_IOU:
-                    out.append(
-                        dict(url=url, page_num=int(pnum), src=ra.node_id, dst=rb.node_id,
-                             etype="CP", length=0.0, overlap=0.0, iou=float(iou))
-                    )
-    cols = [f.name for f in EDGES_SCHEMA.fields]
-    return pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+        ra, rb = page_rows[int(p)], page_rows[int(p) + 1]
+        ox = np.minimum(x2[ra][:, None], x2[rb][None, :]) - np.maximum(x1[ra][:, None], x1[rb][None, :])
+        oy = np.minimum(y2[ra][:, None], y2[rb][None, :]) - np.maximum(y1[ra][:, None], y1[rb][None, :])
+        inter = np.clip(ox, 0, None) * np.clip(oy, 0, None)
+        area_a = ((x2[ra] - x1[ra]) * (y2[ra] - y1[ra]))[:, None]
+        area_b = ((x2[rb] - x1[rb]) * (y2[rb] - y1[rb]))[None, :]
+        union = area_a + area_b - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            iou = np.where(union > 0, inter / union, 0.0)
+        ii, jj = np.nonzero(iou >= CROSS_PAGE_IOU)
+        for i, j in zip(ii, jj):
+            out["url"].append(url)
+            out["page_num"].append(int(p))
+            out["src"].append(node_id[ra[i]])
+            out["dst"].append(node_id[rb[j]])
+            out["etype"].append("CP")
+            out["length"].append(0.0)
+            out["overlap"].append(0.0)
+            out["iou"].append(float(iou[i, j]))
+
+
+def _empty_out() -> dict[str, list]:
+    return {f.name: [] for f in EDGES_SCHEMA.fields}
+
+
+def doc_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+    """All edges for one document's nodes (numpy kernel; unit-testable)."""
+    out = _empty_out()
+    if len(pdf):
+        doc_edges_arrays(
+            pdf["url"].iloc[0],
+            pdf["node_id"].to_numpy(),
+            pdf["page_num"].to_numpy(),
+            pdf["x1"].to_numpy(dtype=np.float64),
+            pdf["y1"].to_numpy(dtype=np.float64),
+            pdf["x2"].to_numpy(dtype=np.float64),
+            pdf["y2"].to_numpy(dtype=np.float64),
+            out,
+        )
+    return pd.DataFrame(out)
+
+
+def edges_from_pages(pages: DataFrame) -> DataFrame:
+    """Fused parse+edges: pages.html -> edges in ONE map-only pass.
+
+    Each pages row is a complete document, so edges never need a shuffle
+    at all — this is the scale path (build_edges on a nodes table costs
+    an extra hash exchange plus per-group overhead)."""
+    from .parse import parse_doc
+
+    def run(batches):
+        for pdf in batches:
+            out = _empty_out()
+            for url, html in zip(pdf["url"], pdf["html"]):
+                try:
+                    rows = parse_doc(url, bytes(html))
+                except Exception:
+                    continue
+                if not rows:
+                    continue
+                doc_edges_arrays(
+                    url,
+                    np.array([r["node_id"] for r in rows]),
+                    np.array([r["page_num"] for r in rows]),
+                    np.array([r["x1"] for r in rows], dtype=np.float64),
+                    np.array([r["y1"] for r in rows], dtype=np.float64),
+                    np.array([r["x2"] for r in rows], dtype=np.float64),
+                    np.array([r["y2"] for r in rows], dtype=np.float64),
+                    out,
+                )
+            yield pd.DataFrame(out)
+
+    return pages.select("url", "html").mapInPandas(run, schema=EDGES_SCHEMA)
 
 
 def build_edges(nodes: DataFrame, short_only: bool = False) -> DataFrame:

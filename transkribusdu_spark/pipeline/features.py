@@ -135,6 +135,70 @@ def edge_features(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
+def fit_tfidf_vocab(nodes: DataFrame, n: int = 3, max_features: int = 500,
+                    text_col: str = "text") -> DataFrame:
+    """F2/A4: character n-gram document-frequency vocabulary fit with a
+    deterministic tie-break (df desc, ngram asc) — the reference's
+    TfidfVectorizer fit re-expressed as explode -> groupBy -> top-K.
+    Returns (ngram, idx, df, idf); tiny, broadcastable."""
+    total = nodes.count()
+    toks = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    grams = F.when(
+        F.length(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(toks) - n + 1),
+                lambda i: F.lower(F.col(text_col)).substr(i, F.lit(n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    df_counts = (
+        nodes.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("ngram"))
+        .limit(max_features)
+    )
+    from pyspark.sql import Window
+
+    win = Window.orderBy(F.desc("df"), F.asc("ngram"))
+    return df_counts.withColumn(
+        "idx", (F.row_number().over(win) - 1).cast("long")
+    ).withColumn(
+        "idf", F.round(F.log((F.lit(total) + 1.0) / (F.col("df") + 1.0)) + 1.0, 6)
+    )
+
+
+def apply_tfidf(nodes: DataFrame, vocab: DataFrame, n: int = 3,
+                text_col: str = "text") -> DataFrame:
+    """Apply a fitted vocabulary: per node, sparse tf-idf as
+    (url, node_id, indices array<int>, values array<double>).
+    Broadcast join on ngram; groupBy assembles the sparse vector."""
+    grams = F.when(
+        F.length(F.coalesce(F.col(text_col), F.lit(""))) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(F.col(text_col)) - n + 1),
+            lambda i: F.lower(F.col(text_col)).substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = nodes.select("url", "node_id", F.explode(grams).alias("ngram"))
+    tf = exploded.groupBy("url", "node_id", "ngram").agg(F.count("*").alias("tf"))
+    joined = tf.join(F.broadcast(vocab), "ngram")
+    pairs = joined.select(
+        "url", "node_id",
+        F.struct(F.col("idx"), (F.col("tf") * F.col("idf")).alias("v")).alias("p"),
+    )
+    return (
+        pairs.groupBy("url", "node_id")
+        .agg(F.array_sort(F.collect_list("p")).alias("ps"))
+        .select(
+            "url", "node_id",
+            F.transform("ps", lambda p: p["idx"]).alias("indices"),
+            F.transform("ps", lambda p: F.round(p["v"], 6)).alias("values"),
+        )
+    )
+
+
 def fit_quantiles(df: DataFrame, cols: list[str], n_bins: int = 16,
                   relative_error: float = 0.001) -> dict[str, list[float]]:
     """Distributed quantile fit (F17): one pass, Greenwald-Khanna sketch

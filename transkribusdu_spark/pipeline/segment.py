@@ -63,6 +63,84 @@ def cluster_doc(node_ids: list[str], edges: pd.DataFrame, threshold: float) -> l
     return out
 
 
+def agglomerate_doc(
+    node_ids: list[str], edges: pd.DataFrame, seed_threshold: float = 0.99
+) -> list[list[str]]:
+    """Agglomerative cluster merging for one document (reference C3,
+    ``GraphBinaryConjugateSegmenter.py:139-279``): seed clusters =
+    connected components at a high threshold, then repeatedly merge the
+    best-scoring cluster pair — score(A,B) = sum(p_continue - p_break)
+    over edges between A and B — while the best score is positive.
+
+    Edge-list formulation (no dense N x N matrix): inter-cluster scores
+    are aggregated from edges and updated incrementally on merge.
+    """
+    clusters = cluster_doc(node_ids, edges, seed_threshold)
+    owner = {n: i for i, c in enumerate(clusters) for n in c}
+    members: dict[int, list[str]] = {i: list(c) for i, c in enumerate(clusters)}
+    # inter-cluster score accumulation
+    score: dict[tuple[int, int], float] = {}
+    if len(edges):
+        for src, dst, pc in zip(edges["src"], edges["dst"], edges["p_continue"]):
+            a, b = owner.get(src), owner.get(dst)
+            if a is None or b is None or a == b:
+                continue
+            key = (min(a, b), max(a, b))
+            score[key] = score.get(key, 0.0) + (2.0 * float(pc) - 1.0)
+    while score:
+        (a, b), best = max(score.items(), key=lambda kv: (kv[1], (-kv[0][0], -kv[0][1])))
+        if best <= 0.0:
+            break
+        # merge b into a
+        members[a].extend(members.pop(b))
+        new_score: dict[tuple[int, int], float] = {}
+        for (x, y), s in score.items():
+            if (x, y) == (a, b):
+                continue
+            x2 = a if x == b else x
+            y2 = a if y == b else y
+            if x2 == y2:
+                continue
+            k = (min(x2, y2), max(x2, y2))
+            new_score[k] = new_score.get(k, 0.0) + s
+        score = new_score
+    out = [sorted(c) for c in members.values()]
+    out.sort(key=lambda g: g[0])
+    return out
+
+
+def agglomerative_clusters(nodes: DataFrame, edge_scores: DataFrame,
+                           seed_threshold: float = 0.99) -> DataFrame:
+    """Distributed agglomerative segmentation: same shuffle shape as
+    connected_components, C3 kernel per document."""
+    n = nodes.select("url", "node_id")
+    merged = n.select(
+        "url", "node_id",
+        F.lit(None).cast("string").alias("src"),
+        F.lit(None).cast("string").alias("dst"),
+        F.lit(None).cast("double").alias("p_continue"),
+    ).unionByName(
+        edge_scores.select(
+            "url", F.lit(None).cast("string").alias("node_id"),
+            "src", "dst", "p_continue",
+        )
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        url = pdf["url"].iloc[0]
+        node_ids = sorted(pdf.loc[pdf["node_id"].notna(), "node_id"].unique())
+        edges = pdf.loc[pdf["src"].notna(), ["src", "dst", "p_continue"]]
+        clusters = agglomerate_doc(node_ids, edges, seed_threshold)
+        rows = [
+            dict(url=url, cluster_id=i, node_ids=c, proba=None, algo="agglo")
+            for i, c in enumerate(clusters)
+        ]
+        cols = [f.name for f in CLUSTERS_SCHEMA.fields]
+        return pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
+
+    return merged.groupBy("url").applyInPandas(run, schema=CLUSTERS_SCHEMA)
+
+
 def connected_components(nodes: DataFrame, edge_scores: DataFrame,
                          threshold: float = 0.5) -> DataFrame:
     """nodes + scored edges -> clusters (url, cluster_id, node_ids, proba, algo).

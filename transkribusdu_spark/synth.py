@@ -174,13 +174,24 @@ def render_doc(doc_id: int, text: str, lang: str) -> tuple[str, _dt.datetime, by
     return url, warc_ts, html.encode("utf-8")
 
 
-def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pages_from_documents(spark: SparkSession, sf_dir: str, multiplier: int = 1) -> DataFrame:
     """documents.parquet -> pages DataFrame (distributed, deterministic).
 
     Runs as ``mapInPandas`` so synthesis scales with the cluster; the
     output is the authoritative input-shape table for the whole pipeline.
+
+    ``multiplier`` > 1 replicates the corpus deterministically (doc_id
+    offset by 10^7 per replica, which reshuffles host draws and layout
+    RNG) — used to amplify bench inputs beyond the driver-provided SFs.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+    if multiplier > 1:
+        reps = spark.range(multiplier).withColumnRenamed("id", "rep")
+        docs = (
+            docs.crossJoin(reps)
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(10_000_000))
+            .drop("rep")
+        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -203,12 +214,15 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
-def write_pages(spark: SparkSession, sf_dir: str, out_path: str, n_partitions: int = 32) -> None:
+def write_pages(
+    spark: SparkSession, sf_dir: str, out_path: str, n_partitions: int = 32,
+    multiplier: int = 1,
+) -> None:
     """Materialize the pages table as parquet (bench/e2e input snapshot).
 
     Hash-distributed on url — the explicit partitioning the north rule
     asks for; hot hosts are spread because url (not host) is the key.
     """
-    pages_from_documents(spark, sf_dir).repartition(n_partitions, F.col("url")).write.mode(
-        "overwrite"
-    ).parquet(out_path)
+    pages_from_documents(spark, sf_dir, multiplier).repartition(
+        n_partitions, F.col("url")
+    ).write.mode("overwrite").parquet(out_path)
