@@ -117,6 +117,50 @@ def _q_tfidf_vocab(spark, sf_dir):
     return fit_tfidf_vocab(docs, n=3, max_features=100)
 
 
+def _q_extract_via_json(spark, sf_dir):
+    """S5 JSON-OCR source: XML nodes -> JSON payload -> JSON parser ->
+    extraction; must still be byte-identical to documents.text."""
+    from transkribusdu_spark.sources.json_ocr import nodes_to_json_payload, parse_json_pages
+
+    nodes = parse_pages(pages_from_documents(spark, sf_dir))
+    payload = nodes_to_json_payload(nodes).select(
+        "url", F.encode("payload", "UTF-8").alias("html")
+    )
+    re_nodes = parse_json_pages(payload)
+    return extract_text_spans(re_nodes).select("doc_id", "extracted_text")
+
+
+def _q_extract_via_writeback(spark, sf_dir):
+    """S9/S10 write-back round-trip: parse -> render enriched XML ->
+    re-parse -> extract; still byte-identical to documents.text."""
+    from transkribusdu_spark.sources.writeback import render_enriched_xml
+
+    nodes = parse_pages(pages_from_documents(spark, sf_dir))
+    rendered = render_enriched_xml(nodes).select(
+        "url", F.encode("xml", "UTF-8").alias("html")
+    )
+    return extract_text_spans(parse_pages(rendered)).select("doc_id", "extracted_text")
+
+
+def _q_fold_counts(spark, sf_dir):
+    from transkribusdu_spark.pipeline.cv import assign_folds
+
+    folds = assign_folds(pages_from_documents(spark, sf_dir), n_folds=4)
+    return folds.groupBy("fold").agg(F.count("*").alias("n"))
+
+
+def _q_ecn_scores(spark, sf_dir):
+    from transkribusdu_spark.pipeline.ecn import ecn_score, init_weights
+    from transkribusdu_spark.pipeline.features import NODE_FEATURE_COLS
+
+    nodes = parse_pages(pages_from_documents(spark, sf_dir))
+    edges = build_edges(nodes)
+    nf = node_features(nodes, edges)
+    w = init_weights(len(NODE_FEATURE_COLS), 16, 2)
+    scored = ecn_score(nf, edges, w, NODE_FEATURE_COLS)
+    return scored.groupBy("url").agg(F.count("*").alias("n_scored"))
+
+
 def _q_media_metadata(spark, sf_dir):
     feats = extract_binary_features(attach_media(_docs(spark, sf_dir)))
     return feats.select("doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "mime")
@@ -137,6 +181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- document pipeline (SURVEY §2.2/2.3/2.6/2.8: P*, J*, O2, C12) ---
         "extract_main_text": _q_extract_main_text,
         "extract_full_text": _q_extract_full_text,
+        "extract_via_json_source": _q_extract_via_json,
+        "extract_via_writeback_roundtrip": _q_extract_via_writeback,
+        "fold_counts": _q_fold_counts,
+        "ecn_scores": _q_ecn_scores,
         "parse_nodes": _q_parse_nodes,
         "edges_hist": _q_edges_hist,
         "cluster_cc_oracle": _q_cluster_cc,
@@ -223,6 +271,12 @@ sig as (select doc_id,
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_main_text": "select doc_id, text as extracted_text from documents",
+        "extract_via_json_source": (
+            "select doc_id, text as extracted_text from documents"
+        ),
+        "extract_via_writeback_roundtrip": (
+            "select doc_id, text as extracted_text from documents"
+        ),
         "token_count": """
             select doc_id,
                    len(string_split(text,' '))::bigint as n_tokens,

@@ -44,8 +44,13 @@ SNAPSHOT_PARTITIONS = 64
 
 
 def main() -> None:
+    # Shuffle/spill on tmpfs: this box's /tmp is a VM block device whose
+    # latency spikes pollute the scaling ratio; a real cluster has local
+    # NVMe per executor. Override with SPARK_GRAFT_LOCAL_DIR.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
     spark = build_session(app_name="bench", master=f"local[{CPUS}]",
-                          shuffle_partitions=max(CPUS, 8))
+                          shuffle_partitions=max(CPUS, 8),
+                          extra_conf={"spark.local.dir": local_dir})
     spark.sparkContext.setLogLevel("ERROR")
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])

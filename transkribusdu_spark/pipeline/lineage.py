@@ -89,6 +89,24 @@ def pending_pages(spark: SparkSession, pages: DataFrame, out_dir: str) -> DataFr
     return pages.join(done, "url", "left_anti")
 
 
+def straggler_stats(spark: SparkSession, out_dir: str) -> dict:
+    """Skew check (BASELINE.md): no partition should take > 4x the median
+    partition wall time. Uses the per-partition wall_ms the lineage rows
+    already record — zero extra instrumentation."""
+    lin = spark.read.parquet(os.path.join(out_dir, "lineage"))
+    rows = [r.wall_ms for r in lin.select("wall_ms").collect() if r.wall_ms > 0]
+    if not rows:
+        return {"partitions": 0, "median_ms": 0, "max_ms": 0, "ratio": 0.0}
+    rows.sort()
+    median = rows[len(rows) // 2]
+    return {
+        "partitions": len(rows),
+        "median_ms": int(median),
+        "max_ms": int(rows[-1]),
+        "ratio": round(rows[-1] / max(median, 1), 3),
+    }
+
+
 def verify_lineage(spark: SparkSession, out_dir: str, expected_docs: int) -> dict:
     """Consistency check: lineage doc counts must cover the output table."""
     lin = spark.read.parquet(os.path.join(out_dir, "lineage"))

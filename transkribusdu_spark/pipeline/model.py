@@ -75,6 +75,35 @@ def predict_nodes(model: LogisticRegressionModel, node_feats: DataFrame) -> Data
 # ---------------------------------------------------------------------------
 # Edge classifier: continue/break over ef_* features (conjugate mode).
 # ---------------------------------------------------------------------------
+def apply_atmostone(
+    scored: DataFrame,
+    label: str,
+    proba_col: str,
+    fallback: str = "other",
+    pred_col: str = "pred_label",
+    scope: tuple[str, ...] = ("url", "page_num"),
+) -> DataFrame:
+    """Hard logical constraint ATMOSTONE (reference M2 AD3+ constraints,
+    ``graph/Graph.py:234-266``): within each scope (default: page), keep
+    ``label`` only on the highest-probability node; demote the rest to
+    ``fallback``. Declarative window argmax — no inference engine needed."""
+    from pyspark.sql import Window
+
+    # rank only within the constrained label's group per scope
+    w = Window.partitionBy(*[F.col(c) for c in scope], F.col(pred_col)).orderBy(
+        F.desc(proba_col), F.asc("node_id")
+    )
+    ranked = scored.withColumn(
+        "_r", F.row_number().over(w)
+    )
+    return ranked.withColumn(
+        pred_col,
+        F.when((F.col(pred_col) == label) & (F.col("_r") > 1), F.lit(fallback)).otherwise(
+            F.col(pred_col)
+        ),
+    ).drop("_r")
+
+
 def train_edge_classifier(edge_feats: DataFrame, reg_param: float = 0.01) -> LogisticRegressionModel:
     train = edge_feats.withColumn(
         "y", (F.col("src_label") != F.col("dst_label")).cast("double")

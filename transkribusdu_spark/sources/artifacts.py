@@ -1,0 +1,65 @@
+"""Fitted-parameter artifact store (SURVEY.md §2.1 S11).
+
+The reference gzip-pickles sklearn transformers and models with a
+timestamp-freshness check (``graph/GraphModel.py:92-226``). Pickled
+Python objects don't belong on executors; here every fitted artifact is
+a small JSON document in a key-value parquet table, versioned by a
+config hash — loadable anywhere, diffable, broadcastable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+
+def config_hash(config: dict[str, Any]) -> str:
+    """Deterministic hash of a task config (the freshness key — replaces
+    the reference's file-mtime check)."""
+    blob = json.dumps(config, sort_keys=True, separators=(",", ":"))
+    return hashlib.sha1(blob.encode()).hexdigest()[:16]
+
+
+def save_artifact(spark: SparkSession, store_dir: str, name: str,
+                  payload: Any, cfg_hash: str = "") -> None:
+    df = spark.createDataFrame(
+        [(name, cfg_hash, json.dumps(payload, sort_keys=True))],
+        "name string, cfg_hash string, payload string",
+    )
+    df.coalesce(1).write.mode("append").parquet(os.path.join(store_dir, "artifacts"))
+
+
+def load_artifact(spark: SparkSession, store_dir: str, name: str,
+                  cfg_hash: str = "") -> Any | None:
+    """Latest artifact for (name, cfg_hash), or None if absent/stale."""
+    try:
+        df = spark.read.parquet(os.path.join(store_dir, "artifacts"))
+    except Exception:
+        return None
+    rows = df.filter((df.name == name) & (df.cfg_hash == cfg_hash)).collect()
+    if not rows:
+        return None
+    return json.loads(rows[-1].payload)
+
+
+def save_quantile_splits(spark, store_dir, splits: dict[str, list[float]], cfg: dict) -> str:
+    h = config_hash(cfg)
+    # +-inf are not JSON; encode as sentinels
+    enc = {c: [("-inf" if v == float("-inf") else "inf" if v == float("inf") else v) for v in s]
+           for c, s in splits.items()}
+    save_artifact(spark, store_dir, "quantile_splits", enc, h)
+    return h
+
+
+def load_quantile_splits(spark, store_dir, cfg: dict) -> dict[str, list[float]] | None:
+    enc = load_artifact(spark, store_dir, "quantile_splits", config_hash(cfg))
+    if enc is None:
+        return None
+    dec = {}
+    for c, s in enc.items():
+        dec[c] = [float("-inf") if v == "-inf" else float("inf") if v == "inf" else float(v) for v in s]
+    return dec
