@@ -161,6 +161,33 @@ def _q_ecn_scores(spark, sf_dir):
     return scored.groupBy("url").agg(F.count("*").alias("n_scored"))
 
 
+def _q_edges_hist_mode(mode):
+    def q(spark, sf_dir):
+        return edges_from_pages(pages_from_documents(spark, sf_dir), mode=mode).groupBy(
+            "etype"
+        ).agg(F.count("*").alias("n"))
+
+    return q
+
+
+def _q_multitype_hist(spark, sf_dir):
+    nodes = parse_pages(pages_from_documents(spark, sf_dir), kinds=("TextRegion", "TextLine"))
+    return nodes.groupBy("kind", "label").agg(F.count("*").alias("n"))
+
+
+def _q_chi2_features(spark, sf_dir):
+    from transkribusdu_spark.pipeline.featselect import chi2_scores
+    from transkribusdu_spark.pipeline.features import NODE_FEATURE_COLS
+    from transkribusdu_spark.schemas import MAIN_CONTENT_LABELS
+
+    nodes = parse_pages(pages_from_documents(spark, sf_dir))
+    nf = node_features(nodes).withColumn(
+        "y", F.col("label").isin(list(MAIN_CONTENT_LABELS)).cast("double")
+    )
+    # chi2 needs non-negative features; use the normalized geometry block
+    return chi2_scores(nf, [c for c in NODE_FEATURE_COLS if c.startswith("nf_")][:12])
+
+
 def _q_media_metadata(spark, sf_dir):
     feats = extract_binary_features(attach_media(_docs(spark, sf_dir)))
     return feats.select("doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "mime")
@@ -193,8 +220,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_coverage": _q_page_coverage,
         "docs_per_host_salted": _q_docs_per_host,
         "node_label_hist": _q_node_label_hist,
+        "edges_hist_g2": _q_edges_hist_mode("g2"),
+        "edges_hist_g1o": _q_edges_hist_mode("g1o"),
+        "multitype_node_hist": _q_multitype_hist,
         # --- fits (cross-document aggregations) ---
         "tfidf_vocab": _q_tfidf_vocab,
+        "chi2_features": _q_chi2_features,
         # --- text analysis ---
         "token_count": lambda s, d: textstats.token_count(_docs(s, d)),
         "language_id": lambda s, d: textstats.language_id(_docs(s, d)),

@@ -71,15 +71,26 @@ def _los_pass(
     a2: np.ndarray,
     b1: np.ndarray,
     b2: np.ndarray,
+    mode: str = "g1",
 ) -> Iterable[tuple[int, int, float, float, float]]:
     """One directional line-of-sight pass.
 
     (a1,a2) = interval along the *overlap* axis; (b1,b2) = interval along
     the *sweep* axis. Emits (i, j, length, overlap, iou) for each pair
-    where j is visible strictly below i along the sweep axis. Vertical
-    edges: overlap axis = x, sweep axis = y. Horizontal edges are the
-    same pass with axes swapped (reference rotates -90 deg and reuses the
-    vertical code, ``graph/Block.py:350-371``).
+    where j is visible below i along the sweep axis. Vertical edges:
+    overlap axis = x, sweep axis = y. Horizontal edges are the same pass
+    with axes swapped (reference rotates -90 deg and reuses the vertical
+    code, ``graph/Block.py:350-371``).
+
+    Modes (reference ``graph/Block.py:456-688``):
+    - ``g1``  non-overlapping layout; candidate starts at/after i's end;
+      emit if any part of the projection overlap is unmasked; overlap =
+      full geometric projection overlap.
+    - ``g2``  true masking: overlap/iou computed on the *visible* part
+      only (interval-subtraction view, ``util/masking.py:57-94``).
+    - ``g1o`` overlapping boxes tolerated: candidates start at/after i's
+      *start*; length may be negative (kept, for the caller's
+      larger-overlap orientation filter).
     """
     n = len(ids)
     if n < 2:
@@ -95,9 +106,14 @@ def _los_pass(
         seen: list[tuple[float, float]] = []
         for jj in range(n):
             j = int(order[jj])
-            if j == i or gb1[j] < gb2[i]:
-                # only blocks starting at/after the bottom of i (mode g1:
-                # non-overlapping layout assumption, graph/Block.py:506)
+            if j == i:
+                continue
+            if mode == "g1o":
+                if gb1[j] < gb1[i] or (gb1[j] == gb1[i] and jj <= ii):
+                    continue
+            elif gb1[j] < gb2[i]:
+                # only blocks starting at/after the bottom of i
+                # (non-overlap assumption, graph/Block.py:506)
                 continue
             lo = max(ga1[i], ga1[j])
             hi = min(ga2[i], ga2[j])
@@ -107,10 +123,12 @@ def _los_pass(
             if visible > 0.0:
                 len_i = ga2[i] - ga1[i]
                 len_j = ga2[j] - ga1[j]
-                ov = hi - lo
+                ov = visible if mode == "g2" else hi - lo
                 iou = ov / (len_i + len_j - ov) if (len_i + len_j - ov) > 0 else 0.0
                 length = float(gb1[j] - gb2[i])
-                yield i, j, max(length, 0.0), float(ov), float(iou)
+                if mode != "g1o":
+                    length = max(length, 0.0)
+                yield i, j, length, float(ov), float(iou)
             _merge_into(seen, lo, hi)
             if _covered(ga1[i], ga2[i], seen):
                 break  # watermark early-exit (graph/Block.py:562-565)
@@ -135,6 +153,7 @@ def doc_edges_arrays(
     x2: np.ndarray,
     y2: np.ndarray,
     out: dict[str, list],
+    mode: str = "g1",
 ) -> None:
     """Edge kernel over plain numpy arrays for one document; appends to
     ``out`` column lists (dict-of-lists beats list-of-dicts ~10x in the
@@ -145,16 +164,30 @@ def doc_edges_arrays(
         rows = page_rows[int(p)]
         ids = node_id[rows]
         px1, py1, px2, py2 = x1[rows], y1[rows], x2[rows], y2[rows]
+        page_edges: dict[tuple, tuple] = {}
         for etype, a1, a2, b1, b2 in (("V", px1, px2, py1, py2), ("H", py1, py2, px1, px2)):
-            for i, j, length, ov, iou in _los_pass(ids, a1, a2, b1, b2):
-                out["url"].append(url)
-                out["page_num"].append(int(p))
-                out["src"].append(ids[i])
-                out["dst"].append(ids[j])
-                out["etype"].append(etype)
-                out["length"].append(length)
-                out["overlap"].append(ov)
-                out["iou"].append(iou)
+            for i, j, length, ov, iou in _los_pass(ids, a1, a2, b1, b2, mode):
+                page_edges[(etype, i, j)] = (length, ov, iou)
+        if mode == "g1o":
+            # overlapping-box filter (graph/Block.py:622-688): when a pair
+            # got both a V and an H edge and either has negative length
+            # (boxes overlap), keep only the larger-overlap orientation.
+            for i_, j_ in {(i, j) for (_, i, j) in page_edges}:
+                kv, kh = ("V", i_, j_), ("H", i_, j_)
+                if kv in page_edges and kh in page_edges:
+                    lv, ovv, _ = page_edges[kv]
+                    lh, ovh, _ = page_edges[kh]
+                    if lv < 0 or lh < 0:
+                        del page_edges[kv if ovv < ovh else kh]
+        for (etype, i, j), (length, ov, iou) in page_edges.items():
+            out["url"].append(url)
+            out["page_num"].append(int(p))
+            out["src"].append(ids[i])
+            out["dst"].append(ids[j])
+            out["etype"].append(etype)
+            out["length"].append(float(max(length, 0.0)))
+            out["overlap"].append(ov)
+            out["iou"].append(iou)
     # Cross-page: consecutive pages, box IoU >= threshold, fully
     # vectorized (significantOverlap, graph/Block.py:212-278).
     for p in pages:
@@ -185,7 +218,7 @@ def _empty_out() -> dict[str, list]:
     return {f.name: [] for f in EDGES_SCHEMA.fields}
 
 
-def doc_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+def doc_edges(pdf: pd.DataFrame, mode: str = "g1") -> pd.DataFrame:
     """All edges for one document's nodes (numpy kernel; unit-testable)."""
     out = _empty_out()
     if len(pdf):
@@ -198,11 +231,12 @@ def doc_edges(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf["x2"].to_numpy(dtype=np.float64),
             pdf["y2"].to_numpy(dtype=np.float64),
             out,
+            mode=mode,
         )
     return pd.DataFrame(out)
 
 
-def edges_from_pages(pages: DataFrame) -> DataFrame:
+def edges_from_pages(pages: DataFrame, mode: str = "g1") -> DataFrame:
     """Fused parse+edges: pages.html -> edges in ONE map-only pass.
 
     Each pages row is a complete document, so edges never need a shuffle
@@ -229,22 +263,24 @@ def edges_from_pages(pages: DataFrame) -> DataFrame:
                     np.array([r["x2"] for r in rows], dtype=np.float64),
                     np.array([r["y2"] for r in rows], dtype=np.float64),
                     out,
+                    mode=mode,
                 )
             yield pd.DataFrame(out)
 
     return pages.select("url", "html").mapInPandas(run, schema=EDGES_SCHEMA)
 
 
-def build_edges(nodes: DataFrame, short_only: bool = False) -> DataFrame:
+def build_edges(nodes: DataFrame, short_only: bool = False, mode: str = "g1") -> DataFrame:
     """nodes -> edges: one shuffle on url, then per-doc numpy kernels.
 
     ``short_only`` filters V/H edges longer than the source block height
     (reference ``bShortOnly`` pruning, ``graph/Block.py:551-556``) —
     a cheap way to cap edge count on dense documents at scale.
+    ``mode``: 'g1' (default), 'g2' (true masking), 'g1o' (overlaps ok).
     """
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        edges = doc_edges(pdf)
+        edges = doc_edges(pdf, mode=mode)
         if short_only and len(edges):
             heights = dict(zip(pdf["node_id"], (pdf["y2"] - pdf["y1"])))
             keep = [
