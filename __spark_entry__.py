@@ -188,6 +188,27 @@ def _q_chi2_features(spark, sf_dir):
     return chi2_scores(nf, [c for c in NODE_FEATURE_COLS if c.startswith("nf_")][:12])
 
 
+def _q_extract_predicted_smoothed(spark, sf_dir):
+    """Full learned path: train node model on GT labels, predict, Viterbi-
+    smooth along reading order, extract main content with the predicted
+    labels (rows-only: model output, not SQL-expressible)."""
+    from transkribusdu_spark.pipeline.model import (
+        fit_label_transitions,
+        predict_nodes,
+        train_node_classifier,
+        viterbi_smooth,
+    )
+
+    nodes = parse_pages(pages_from_documents(spark, sf_dir))
+    nf = node_features(nodes, build_edges(nodes)).cache()
+    model = train_node_classifier(nf)
+    pred = predict_nodes(model, nf)
+    sm = viterbi_smooth(pred, log_trans=fit_label_transitions(nf))
+    labeled = pred.drop("y_proba").join(sm, ["url", "node_id"])
+    ext = extract_text_spans(labeled, labels=("main",), label_col="smoothed_label")
+    return ext.select("doc_id", F.length("extracted_text").alias("n_chars_extracted"))
+
+
 def _q_media_metadata(spark, sf_dir):
     feats = extract_binary_features(attach_media(_docs(spark, sf_dir)))
     return feats.select("doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "mime")
@@ -223,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_hist_g2": _q_edges_hist_mode("g2"),
         "edges_hist_g1o": _q_edges_hist_mode("g1o"),
         "multitype_node_hist": _q_multitype_hist,
+        "extract_predicted_smoothed": _q_extract_predicted_smoothed,
         # --- fits (cross-document aggregations) ---
         "tfidf_vocab": _q_tfidf_vocab,
         "chi2_features": _q_chi2_features,
