@@ -29,6 +29,10 @@ NODE_FEATURE_COLS = [
     "nf_last_page", "nf_text_len", "nf_n_spaces", "nf_is_digit",
     "nf_is_title", "nf_frac_upper", "nf_frac_digit",
     "nf_nH", "nf_nV", "nf_nCP",
+    # cross-document host-repetition signals (beyond the reference: the
+    # single-process reference cannot see across documents; in Spark this
+    # is one aggregation and it is THE classic boilerplate detector)
+    "nf_host_rep", "nf_host_rep_frac",
 ]
 
 EDGE_FEATURE_COLS = [
@@ -66,6 +70,28 @@ def node_features(nodes: DataFrame, edges: DataFrame | None = None) -> DataFrame
         .withColumn("nf_is_title", txt.rlike(r"^([A-Z][a-z]*)( [A-Z][a-z]*)*$").cast("double"))
         .withColumn("nf_frac_upper", F.when(F.length(txt) > 0, n_upper / F.length(txt)).otherwise(F.lit(0.0)))
         .withColumn("nf_frac_digit", F.when(F.length(txt) > 0, n_digit / F.length(txt)).otherwise(F.lit(0.0)))
+    )
+    # Host-repetition: how many distinct documents of the same host carry
+    # this exact node text (template/boilerplate repeats; unique content
+    # doesn't). Two aggregations; the (host, text-hash) key is salted by
+    # construction (hash) so hot hosts spread; AQE handles the rest.
+    host = F.regexp_extract(F.col("url"), r"https?://([^/]+)/", 1)
+    keyed = out.withColumn("_host", host).withColumn("_th", F.md5(txt))
+    host_docs = keyed.groupBy("_host").agg(
+        F.countDistinct("url").alias("_host_n")
+    )
+    rep = keyed.groupBy("_host", "_th").agg(
+        F.countDistinct("url").alias("_rep")
+    )
+    out = (
+        keyed.join(rep, ["_host", "_th"], "left")
+        .join(host_docs, ["_host"], "left")
+        .withColumn("nf_host_rep", F.log(F.col("_rep").cast("double") + 1.0))
+        .withColumn(
+            "nf_host_rep_frac",
+            F.col("_rep").cast("double") / F.greatest(F.col("_host_n"), F.lit(1)).cast("double"),
+        )
+        .drop("_host", "_th", "_rep", "_host_n")
     )
     if edges is not None:
         # Neighbour counts per edge type (F6): undirected — count both
