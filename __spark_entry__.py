@@ -170,6 +170,13 @@ def _q_edges_hist_mode(mode):
     return q
 
 
+def _q_bieso_rows(spark, sf_dir):
+    from transkribusdu_spark.pipeline.tablerows import bieso_tag_rows
+
+    nodes = parse_pages(pages_from_documents(spark, sf_dir), kinds=("TextLine",))
+    return bieso_tag_rows(nodes).groupBy("bieso").agg(F.count("*").alias("n"))
+
+
 def _q_multitype_hist(spark, sf_dir):
     nodes = parse_pages(pages_from_documents(spark, sf_dir), kinds=("TextRegion", "TextLine"))
     return nodes.groupBy("kind", "label").agg(F.count("*").alias("n"))
@@ -245,6 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_hist_g1o": _q_edges_hist_mode("g1o"),
         "multitype_node_hist": _q_multitype_hist,
         "extract_predicted_smoothed": _q_extract_predicted_smoothed,
+        "bieso_row_tags": _q_bieso_rows,
         # --- fits (cross-document aggregations) ---
         "tfidf_vocab": _q_tfidf_vocab,
         "chi2_features": _q_chi2_features,
