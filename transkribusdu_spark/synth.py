@@ -214,6 +214,33 @@ def pages_from_documents(spark: SparkSession, sf_dir: str, multiplier: int = 1) 
     return docs.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
+def documents_amplified(spark: SparkSession, sf_dir: str, multiplier: int) -> DataFrame:
+    """Amplify the documents table for dedup/similarity benchmarks while
+    preserving pair structure: each replica renames the whole token
+    vocabulary (token -> token + '_r<rep>'). A bijection on tokens maps
+    shingle sets bijectively, so within-replica Jaccard values are
+    EXACTLY preserved (planted near-dup pairs scale linearly with the
+    multiplier) while replicas share zero shingles (no cross-replica
+    pair explosion). All JVM-side column ops."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if multiplier <= 1:
+        return docs
+    reps = spark.range(multiplier).withColumnRenamed("id", "rep")
+    rep_tok = F.concat(F.lit("_r"), F.col("rep").cast("string"))
+    return (
+        docs.crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(10_000_000))
+        .withColumn(
+            "text",
+            F.array_join(
+                F.transform(F.split("text", " "), lambda t: F.concat(t, rep_tok)), " "
+            ),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .drop("rep")
+    )
+
+
 def write_pages(
     spark: SparkSession, sf_dir: str, out_path: str, n_partitions: int = 32,
     multiplier: int = 1,
