@@ -231,6 +231,11 @@ def _q_ann_lsh(spark, sf_dir):
     return similarity.ann_lsh(e, similarity.self_queries(e, 10), k=5)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    return similarity.ivf_knn(e, similarity.self_queries(e, 10), k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- document pipeline (SURVEY §2.2/2.3/2.6/2.8: P*, J*, O2, C12) ---
@@ -271,6 +276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ---
         "knn_bruteforce": _q_knn,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         # --- multimodal plumbing ---
         "media_metadata": _q_media_metadata,
         # --- relational / aggregation coverage (SURVEY §2.5-2.7) ---

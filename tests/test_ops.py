@@ -119,3 +119,16 @@ def test_decode_real_is_stubbed(docs):
 
     with pytest.raises(NotImplementedError):
         decode_image_real(attach_media(docs))
+
+
+def test_ivf_knn_recall(emb):
+    k = 5
+    exact = similarity.knn_bruteforce(emb, similarity.self_queries(emb, 10), k=k).toPandas()
+    approx = similarity.ivf_knn(emb, similarity.self_queries(emb, 10), k=k,
+                                n_cells=8, n_probe=4).toPandas()
+    want = set(zip(exact.query_id, exact.vec_id))
+    got = set(zip(approx.query_id, approx.vec_id))
+    recall = len(want & got) / len(want)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # ranks must be dense 1..k per query
+    assert (approx.groupby("query_id")["rank"].max() == k).all()

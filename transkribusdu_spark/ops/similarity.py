@@ -6,6 +6,10 @@
   candidates restricted to matching buckets (with multi-probe via
   several tables), then exact re-rank — the 100 TB path where Q*N is
   not affordable.
+- IVF ANN: k-means coarse quantizer (spark.ml, seeded), vectors
+  assigned to inverted lists; queries probe the nearest n_probe
+  centroids and re-rank exactly within those cells — candidate set
+  ~ N * n_probe / n_cells.
 """
 
 from __future__ import annotations
@@ -79,6 +83,58 @@ def _bucket_expr(vcol, planes: np.ndarray):
         )
         bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
     return sum(bits[1:], bits[0])
+
+
+def ivf_fit(embeddings: DataFrame, n_cells: int = 16, seed: int = SEED):
+    """Fit the IVF coarse quantizer: k-means over the embeddings
+    (distributed, seeded). Returns (model, assigned) where assigned =
+    (vec_id, v, cell)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("features", array_to_vector("v"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(base)
+    assigned = model.transform(base).select("vec_id", "v", "cell")
+    return model, assigned
+
+
+def ivf_knn(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN: probe the n_probe nearest cells per query, exact cosine
+    re-rank inside. One equi-join on cell — never a full cross join."""
+    import numpy as np
+
+    model, assigned = ivf_fit(embeddings, n_cells)
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+
+    def probe_cells(qv: list[float]) -> list[int]:
+        q = np.asarray(qv)
+        d = ((centers - q) ** 2).sum(axis=1)
+        return [int(i) for i in np.argsort(d)[:n_probe]]
+
+    # centroids are tiny: compute probe lists on the driver per query row
+    q_rows = queries.select("query_id", "qv").collect()
+    spark = embeddings.sparkSession
+    probe = spark.createDataFrame(
+        [(r.query_id, list(r.qv), c) for r in q_rows for c in probe_cells(r.qv)],
+        "query_id long, qv array<double>, cell int",
+    )
+    cand = probe.join(assigned, "cell").filter(F.col("query_id") != F.col("vec_id"))
+    scored = cand.withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("v")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
 
 
 def ann_lsh(
