@@ -182,17 +182,38 @@ def _q_multitype_hist(spark, sf_dir):
     return nodes.groupBy("kind", "label").agg(F.count("*").alias("n"))
 
 
+CHI2_QUERY_FEATURES = [
+    "fx1", "fy1", "fx2", "fy2", "fw", "fh", "farea",
+    "fcx2", "fcy2", "feven", "fp1", "fplast",
+]
+
+
 def _q_chi2_features(spark, sf_dir):
+    """F22 chi2 feature selection over integer-valued geometry features.
+
+    Integer-valued inputs make every distributed sum EXACT (all values
+    < 2^53), so the chi2 statistic is bit-reproducible across engines
+    and partition orders — the hash-verifiable surface. The same
+    operator over the continuous nf_* features is exercised in
+    tests/test_modes_hungarian_chi2.py."""
     from transkribusdu_spark.pipeline.featselect import chi2_scores
-    from transkribusdu_spark.pipeline.features import NODE_FEATURE_COLS
     from transkribusdu_spark.schemas import MAIN_CONTENT_LABELS
 
+    c = F.col
     nodes = parse_pages(pages_from_documents(spark, sf_dir))
-    nf = node_features(nodes).withColumn(
-        "y", F.col("label").isin(list(MAIN_CONTENT_LABELS)).cast("double")
+    nf = (
+        nodes
+        .withColumn("fx1", c("x1")).withColumn("fy1", c("y1"))
+        .withColumn("fx2", c("x2")).withColumn("fy2", c("y2"))
+        .withColumn("fw", c("x2") - c("x1")).withColumn("fh", c("y2") - c("y1"))
+        .withColumn("farea", (c("x2") - c("x1")) * (c("y2") - c("y1")))
+        .withColumn("fcx2", c("x1") + c("x2")).withColumn("fcy2", c("y1") + c("y2"))
+        .withColumn("feven", (c("page_num") % 2 == 0).cast("double"))
+        .withColumn("fp1", (c("page_num") == 1).cast("double"))
+        .withColumn("fplast", (c("page_num") == c("page_cnt")).cast("double"))
+        .withColumn("y", c("label").isin(list(MAIN_CONTENT_LABELS)).cast("double"))
     )
-    # chi2 needs non-negative features; use the normalized geometry block
-    return chi2_scores(nf, [c for c in NODE_FEATURE_COLS if c.startswith("nf_")][:12])
+    return chi2_scores(nf, CHI2_QUERY_FEATURES)
 
 
 def _q_extract_predicted_smoothed(spark, sf_dir):
@@ -300,6 +321,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+# Ground-truth sidecars (tools/make_truth.py): deterministic expected
+# values for the document-pipeline queries, computed by an INDEPENDENT
+# single-node implementation from the synth layout plan. The driver's
+# correctness gate runs at sf0.01, so oracles read the sf0.01 sidecars.
+_TRUTH = "/root/repo/truth/sf0.01"
+
+
+def _t(name: str) -> str:
+    return f"read_parquet('{_TRUTH}/{name}.parquet')"
+
+
 _MARKER_SQL = {
     lang: ", ".join(f"'{m}'" for m in ms) for lang, ms in textstats.LANG_MARKERS.items()
 }
@@ -337,6 +369,36 @@ sig as (select doc_id,
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # --- ground-truth sidecar oracles (tools/make_truth.py) ---
+        "extract_full_text": f"select doc_id, full_text as extracted_text from {_t('docs')}",
+        "fold_counts": f"select cast(fold as integer) fold, count(*) n from {_t('docs')} group by fold",
+        "parse_nodes": f"""
+            select doc_id, count(*) n_nodes, max(page_cnt)::bigint n_pages
+            from {_t('nodes')} where kind = 'TextRegion' group by doc_id
+        """,
+        "edges_hist": f"select etype, count(*) n from {_t('edges')} where mode = 'g1' group by etype",
+        "edges_hist_g2": f"select etype, count(*) n from {_t('edges')} where mode = 'g2' group by etype",
+        "edges_hist_g1o": f"select etype, count(*) n from {_t('edges')} where mode = 'g1o' group by etype",
+        "cluster_cc_oracle": f"""
+            select url, n_clusters from {_t('clusters')} where algo = 'cc'
+        """,
+        "cluster_agglo_oracle": f"""
+            select url, n_clusters from {_t('clusters')} where algo = 'agglo'
+        """,
+        "dual_graph_sizes": f"select url, n_dual_edges from {_t('dual')}",
+        "page_coverage": f"""
+            select url, cast(page_num as integer) page_num,
+                   round(sum((x2 - x1) * (y2 - y1)) / any_value(page_w * page_h), 6) coverage
+            from {_t('nodes')} where kind = 'TextRegion' group by url, page_num
+        """,
+        "docs_per_host_salted": f"select host, count(*) n_docs from {_t('docs')} group by host",
+        "node_label_hist": f"select label, count(*) n from {_t('nodes')} where kind = 'TextRegion' group by label",
+        "multitype_node_hist": f"select kind, label, count(*) n from {_t('nodes')} group by kind, label",
+        "bieso_row_tags": f"select bieso, count(*) n from {_t('bieso')} group by bieso",
+        "chi2_features": f"select feature, chi2 from {_t('chi2')}",
+        "ann_lsh": f"select query_id, vec_id, cosine, rank from {_t('ann_lsh')}",
+        "ann_ivf": f"select query_id, vec_id, cosine, rank from {_t('ann_ivf')}",
+        # --- documents-table oracles ---
         "extract_main_text": "select doc_id, text as extracted_text from documents",
         "extract_via_json_source": (
             "select doc_id, text as extracted_text from documents"

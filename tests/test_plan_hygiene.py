@@ -61,3 +61,44 @@ def test_extraction_is_whole_stage_codegen_after_udf(spark, sf_dir):
     # exactly one Python boundary: the parse UDF
     assert phys.count("MapInPandas") == 1
     assert "BatchEvalPython" not in phys, "row-at-a-time Python UDF crept in"
+
+
+def test_embedding_near_dups_no_cartesian(spark, sf_dir):
+    """The near-dup pair generator must be the LSH-bucket equi-join, never
+    an all-pairs cross join (the O(N^2) scale-killer)."""
+    from transkribusdu_spark.ops.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _physical(embedding_near_dups(emb))
+    assert "CartesianProduct" not in plan, "near-dups regressed to all-pairs cross join"
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_lsh_distinct_carries_ids_only(spark, sf_dir):
+    """The multi-table candidate dedup must shuffle (query_id, vec_id)
+    pairs only — full float vectors re-join after the distinct."""
+    from transkribusdu_spark.ops import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = similarity.self_queries(emb, 5)
+    plan = _physical(similarity.ann_lsh(emb, q))
+    import re
+
+    for m in re.finditer(r"HashAggregate\(keys=\[([^\]]*)\]", plan):
+        keys = m.group(1)
+        if "query_id" in keys and "vec_id" in keys:
+            assert "qv" not in keys and not re.search(r"\bv#", keys), (
+                "candidate distinct still shuffles embedding vectors: " + keys
+            )
+
+
+def test_ivf_probe_has_no_driver_query_collect(spark, sf_dir):
+    """ivf_knn probe lists must be column expressions over broadcast
+    centroids — the query table stays a single distributed plan (a
+    LocalTableScan of query rows would betray a driver-side collect)."""
+    from transkribusdu_spark.ops import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = similarity.self_queries(emb, 5)
+    plan = _physical(similarity.ivf_knn(emb, q))
+    assert "LocalTableScan" not in plan, "query probe list was collected to the driver"

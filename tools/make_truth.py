@@ -1,0 +1,543 @@
+"""Generate ground-truth oracle sidecars for the contract queries.
+
+The synthesized corpus is deterministic (synth.plan_doc), so every
+derived quantity the pipeline computes — node tables, line-of-sight
+edge histograms, cluster counts, dual-graph sizes, BIESO row tags,
+chi2 scores, ANN top-k — has a closed-form ground truth computable by
+an INDEPENDENT single-node implementation. This tool computes those
+truths with fresh (non-Spark, non-pipeline) code and writes them as
+parquet sidecars under truth/<sf>/, which ``oracle_sql()`` then reads
+via DuckDB ``read_parquet`` — turning rows-only contract queries into
+hash-verified ones.
+
+Independence: this file implements the same *specifications* as
+transkribusdu_spark (reference semantics: ``graph/Block.py:456-688``
+sweep, ``util/masking.py:57-94`` interval masking,
+``GraphBinaryConjugateSegmenter.py`` clustering) but shares no code
+with the pipeline — interval set, union-find, sweep, chi2 and cosine
+are reimplemented here from the spec. The only shared import is
+``synth.plan_doc``: the data *generator* (not the system under test).
+
+Usage:  python tools/make_truth.py [sf_dir ...]
+Default sf dirs: /root/testdata/sf0.001 /root/testdata/sf0.01
+Outputs: /root/repo/truth/<basename(sf_dir)>/*.parquet
+
+Regenerate whenever synth.plan_doc, the fold rule, the LSH/IVF specs,
+or the chi2 feature list changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from transkribusdu_spark import SEED
+from transkribusdu_spark.synth import plan_doc
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GRID = 2
+CROSS_PAGE_IOU = 0.25
+MAIN = ("paragraph", "heading")
+FOLD_SEED = 42
+N_FOLDS = 4
+
+
+def round6_half_up(x: float) -> float:
+    """Mirror Spark's F.round / DuckDB round (HALF_UP on the exact
+    binary expansion) — NOT Python round (half-even)."""
+    return float(Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+# ---------------------------------------------------------------------------
+# Interval set (disjoint sorted union) — masking primitive.
+# ---------------------------------------------------------------------------
+class IntervalSet:
+    """Union of disjoint half-open-ish intervals kept sorted; supports
+    uncovered-length queries. Independent of the pipeline's
+    subtract-list formulation."""
+
+    def __init__(self) -> None:
+        self.iv: list[tuple[float, float]] = []
+
+    def add(self, lo: float, hi: float) -> None:
+        if hi <= lo:
+            return
+        merged = []
+        placed = False
+        for a, b in self.iv:
+            if b < lo or a > hi:
+                merged.append((a, b))
+            else:
+                lo, hi = min(lo, a), max(hi, b)
+        for idx, (a, b) in enumerate(merged):
+            if lo < a:
+                merged.insert(idx, (lo, hi))
+                placed = True
+                break
+        if not placed:
+            merged.append((lo, hi))
+        self.iv = merged
+
+    def uncovered(self, lo: float, hi: float) -> float:
+        if hi <= lo:
+            return 0.0
+        total = hi - lo
+        for a, b in self.iv:
+            a2, b2 = max(a, lo), min(b, hi)
+            if b2 > a2:
+                total -= b2 - a2
+        return total
+
+
+# ---------------------------------------------------------------------------
+# Line-of-sight edge sweep (spec: graph/Block.py:456-688).
+# ---------------------------------------------------------------------------
+def los_pass(a1, a2, b1, b2, mode: str) -> list[tuple[int, int, float, float]]:
+    """One directional pass. (a1,a2)=overlap-axis interval, (b1,b2)=
+    sweep-axis interval. Returns (i, j, length, ov)."""
+    n = len(a1)
+    ga1 = [float(np.round(v / GRID) * GRID) for v in a1]
+    ga2 = [float(np.round(v / GRID) * GRID) for v in a2]
+    gb1 = [float(np.round(v / GRID) * GRID) for v in b1]
+    gb2 = [float(np.round(v / GRID) * GRID) for v in b2]
+    order = sorted(range(n), key=lambda t: (gb1[t], ga1[t]))
+    out = []
+    for ii, i in enumerate(order):
+        mask = IntervalSet()
+        for jj, j in enumerate(order):
+            if j == i:
+                continue
+            if mode == "g1o":
+                if gb1[j] < gb1[i] or (gb1[j] == gb1[i] and jj <= ii):
+                    continue
+            elif gb1[j] < gb2[i]:
+                continue
+            lo, hi = max(ga1[i], ga1[j]), min(ga2[i], ga2[j])
+            if hi <= lo:
+                continue
+            visible = mask.uncovered(lo, hi)
+            if visible > 0.0:
+                ov = visible if mode == "g2" else hi - lo
+                length = gb1[j] - gb2[i]
+                if mode != "g1o":
+                    length = max(length, 0.0)
+                out.append((i, j, float(length), float(ov)))
+            mask.add(lo, hi)
+            if mask.uncovered(ga1[i], ga2[i]) <= 0.0:
+                break
+    return out
+
+
+def doc_edges_truth(regions: list[dict], mode: str) -> list[tuple[str, str, str]]:
+    """All (etype, src, dst) edges for one document's region list
+    (each region dict carries page_num + box + node_id)."""
+    by_page: dict[int, list[dict]] = {}
+    for r in regions:
+        by_page.setdefault(r["page_num"], []).append(r)
+    edges: list[tuple[str, str, str]] = []
+    for p in sorted(by_page):
+        rs = by_page[p]
+        ids = [r["node_id"] for r in rs]
+        x1 = [r["x1"] for r in rs]
+        y1 = [r["y1"] for r in rs]
+        x2 = [r["x2"] for r in rs]
+        y2 = [r["y2"] for r in rs]
+        page_edges: dict[tuple[str, int, int], tuple[float, float]] = {}
+        for etype, a1, a2, b1, b2 in (("V", x1, x2, y1, y2), ("H", y1, y2, x1, x2)):
+            for i, j, length, ov in los_pass(a1, a2, b1, b2, mode):
+                page_edges[(etype, i, j)] = (length, ov)
+        if mode == "g1o":
+            for i_, j_ in {(i, j) for (_, i, j) in page_edges}:
+                kv, kh = ("V", i_, j_), ("H", i_, j_)
+                if kv in page_edges and kh in page_edges:
+                    lv, ovv = page_edges[kv]
+                    lh, ovh = page_edges[kh]
+                    if lv < 0 or lh < 0:
+                        del page_edges[kv if ovv < ovh else kh]
+        for (etype, i, j) in page_edges:
+            edges.append((etype, ids[i], ids[j]))
+        # cross-page IoU edges
+        if p + 1 in by_page:
+            for ra in rs:
+                for rb in by_page[p + 1]:
+                    ox = min(ra["x2"], rb["x2"]) - max(ra["x1"], rb["x1"])
+                    oy = min(ra["y2"], rb["y2"]) - max(ra["y1"], rb["y1"])
+                    inter = max(ox, 0.0) * max(oy, 0.0)
+                    area_a = (ra["x2"] - ra["x1"]) * (ra["y2"] - ra["y1"])
+                    area_b = (rb["x2"] - rb["x1"]) * (rb["y2"] - rb["y1"])
+                    union = area_a + area_b - inter
+                    if union > 0 and inter / union >= CROSS_PAGE_IOU:
+                        edges.append(("CP", ra["node_id"], rb["node_id"]))
+    return edges
+
+
+# ---------------------------------------------------------------------------
+# Clustering truths (spec: GraphBinaryConjugateSegmenter.py).
+# ---------------------------------------------------------------------------
+def components(node_ids: list[str], links: list[tuple[str, str]]) -> list[list[str]]:
+    parent: dict[str, str] = {n: n for n in node_ids}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in links:
+        if a in parent and b in parent:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+    groups: dict[str, list[str]] = {}
+    for n in node_ids:
+        groups.setdefault(find(n), []).append(n)
+    out = [sorted(g) for g in groups.values()]
+    out.sort(key=lambda g: g[0])
+    return out
+
+
+def agglo_count(node_ids: list[str], scored: list[tuple[str, str, float]]) -> int:
+    """Agglomerative merge count: seeds = components @ p>=0.99, then merge
+    best pair while sum(2p-1) over inter-cluster edges > 0."""
+    seeds = components(node_ids, [(a, b) for a, b, p in scored if p >= 0.99])
+    owner = {n: i for i, c in enumerate(seeds) for n in c}
+    alive = set(range(len(seeds)))
+    score: dict[tuple[int, int], float] = {}
+    for a, b, p in scored:
+        ca, cb = owner.get(a), owner.get(b)
+        if ca is None or cb is None or ca == cb:
+            continue
+        k = (min(ca, cb), max(ca, cb))
+        score[k] = score.get(k, 0.0) + (2.0 * p - 1.0)
+    while score:
+        (a, b), best = max(score.items(), key=lambda kv: (kv[1], (-kv[0][0], -kv[0][1])))
+        if best <= 0.0:
+            break
+        alive.discard(b)
+        nxt: dict[tuple[int, int], float] = {}
+        for (x, y), s in score.items():
+            if (x, y) == (a, b):
+                continue
+            x2 = a if x == b else x
+            y2 = a if y == b else y
+            if x2 == y2:
+                continue
+            k = (min(x2, y2), max(x2, y2))
+            nxt[k] = nxt.get(k, 0.0) + s
+        score = nxt
+    return len(alive)
+
+
+# ---------------------------------------------------------------------------
+# BIESO row tagging truth (spec: tasks/DU_Table/DU_ABPTable.py:61).
+# ---------------------------------------------------------------------------
+def bieso_truth(lines: list[dict], min_gap: float = 10.0) -> list[tuple[str, str]]:
+    """lines: dicts with page_num, node_id, x1, y1, y2. Returns
+    (node_id, tag)."""
+    out: list[tuple[str, str]] = []
+    by_page: dict[int, list[dict]] = {}
+    for ln in lines:
+        by_page.setdefault(ln["page_num"], []).append(ln)
+    for p in sorted(by_page):
+        pls = by_page[p]
+        ivs = sorted((float(l["y1"]), float(l["y2"])) for l in pls)
+        bands: list[list[float]] = []
+        for a, b in ivs:
+            if bands and a - bands[-1][1] < min_gap:
+                bands[-1][1] = max(bands[-1][1], b)
+            else:
+                bands.append([a, b])
+        for lo, hi in bands:
+            sel = [l for l in pls if lo <= (l["y1"] + l["y2"]) / 2.0 <= hi]
+            sel.sort(key=lambda l: (l["x1"], l["node_id"]))
+            n = len(sel)
+            for pos, l in enumerate(sel):
+                tag = "RS" if n == 1 else "RB" if pos == 0 else "RE" if pos == n - 1 else "RI"
+                out.append((l["node_id"], tag))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# chi2 truth (mirrors featselect.chi2_scores arithmetic exactly).
+# ---------------------------------------------------------------------------
+CHI2_FEATURES = [
+    "fx1", "fy1", "fx2", "fy2", "fw", "fh", "farea",
+    "fcx2", "fcy2", "feven", "fp1", "fplast",
+]
+
+
+def chi2_feature_row(r: dict) -> dict[str, float]:
+    w = r["x2"] - r["x1"]
+    h = r["y2"] - r["y1"]
+    return {
+        "fx1": r["x1"], "fy1": r["y1"], "fx2": r["x2"], "fy2": r["y2"],
+        "fw": w, "fh": h, "farea": w * h,
+        "fcx2": r["x1"] + r["x2"], "fcy2": r["y1"] + r["y2"],
+        "feven": 1.0 if r["page_num"] % 2 == 0 else 0.0,
+        "fp1": 1.0 if r["page_num"] == 1 else 0.0,
+        "fplast": 1.0 if r["page_num"] == r["page_cnt"] else 0.0,
+    }
+
+
+def chi2_truth(region_rows: list[dict]) -> pd.DataFrame:
+    n = len(region_rows)
+    ys = [1.0 if r["label"] in MAIN else 0.0 for r in region_rows]
+    n1 = float(sum(ys))
+    p1 = n1 / n if n else 0.0
+    recs = []
+    for c in CHI2_FEATURES:
+        vals = [chi2_feature_row(r)[c] for r in region_rows]
+        tot = float(sum(vals))
+        pos = float(sum(v * y for v, y in zip(vals, ys)))
+        neg = tot - pos
+        e_pos, e_neg = tot * p1, tot * (1.0 - p1)
+        chi2 = 0.0
+        if e_pos > 0:
+            chi2 += (pos - e_pos) ** 2 / e_pos
+        if e_neg > 0:
+            chi2 += (neg - e_neg) ** 2 / e_neg
+        recs.append({"feature": c, "chi2": round(float(chi2), 6)})
+    return pd.DataFrame(recs)
+
+
+# ---------------------------------------------------------------------------
+# ANN truths (specs in ops/similarity.py — reimplemented with explicit
+# left-fold arithmetic to mirror Spark's F.aggregate exactly).
+# ---------------------------------------------------------------------------
+LSH_TABLES, LSH_PLANES = 16, 4
+IVF_CELLS, IVF_PROBE, IVF_ITERS = 16, 4, 3
+ANN_K, ANN_QUERIES = 5, 10
+
+
+def fold_dot(a, b) -> float:
+    s = 0.0
+    for x, y in zip(a, b):
+        s = s + x * y
+    return s
+
+
+def fold_sq(a) -> float:
+    s = 0.0
+    for x in a:
+        s = s + x * x
+    return s
+
+
+def cosine6(a, b) -> float:
+    return round6_half_up(fold_dot(a, b) / (np.sqrt(fold_sq(a)) * np.sqrt(fold_sq(b))))
+
+
+def topk_rank(query_id: int, cands: dict[int, list[float]], qv: list[float], k: int) -> list[dict]:
+    scored = sorted(
+        ((cosine6(qv, v), vid) for vid, v in cands.items()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    return [
+        {"query_id": query_id, "vec_id": vid, "cosine": c, "rank": r + 1}
+        for r, (c, vid) in enumerate(scored[:k])
+    ]
+
+
+def ann_lsh_truth(emb: pd.DataFrame) -> pd.DataFrame:
+    rng = np.random.default_rng([SEED, 7])
+    planes = rng.standard_normal((LSH_TABLES, LSH_PLANES, 64))
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in emb.itertuples()}
+
+    def bucket(v, t):
+        b = 0
+        for p in range(LSH_PLANES):
+            if fold_dot(v, [float(x) for x in planes[t][p]]) > 0:
+                b |= 1 << p
+        return b
+
+    buckets = {vid: [bucket(v, t) for t in range(LSH_TABLES)] for vid, v in vecs.items()}
+    qids = sorted(vecs)[:ANN_QUERIES]
+    rows = []
+    for q in qids:
+        cand = {
+            vid: v
+            for vid, v in vecs.items()
+            if vid != q and any(buckets[vid][t] == buckets[q][t] for t in range(LSH_TABLES))
+        }
+        rows.extend(topk_rank(q, cand, vecs[q], ANN_K))
+    return pd.DataFrame(rows)
+
+
+def ann_ivf_truth(emb: pd.DataFrame) -> pd.DataFrame:
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in emb.itertuples()}
+    ids = sorted(vecs)
+    cents = [list(vecs[vid]) for vid in ids[:IVF_CELLS]]
+
+    def sqdist(v, c) -> float:
+        s = 0.0
+        for x, y in zip(v, c):
+            d = x - y
+            s = s + d * d
+        return s
+
+    def assign(v) -> int:
+        best, bc = None, 0
+        for ci, c in enumerate(cents):
+            d = sqdist(v, c)
+            if best is None or d < best:
+                best, bc = d, ci
+        return bc
+
+    for _ in range(IVF_ITERS):
+        cells: dict[int, list[list[float]]] = {}
+        for vid in ids:
+            cells.setdefault(assign(vecs[vid]), []).append(vecs[vid])
+        for ci in range(IVF_CELLS):
+            members = cells.get(ci)
+            if members:
+                arr = np.sum(np.asarray(members, dtype=np.float64), axis=0)
+                cnt = len(members)
+                cents[ci] = [round(float(s) / cnt, 6) for s in arr]
+    cell_of = {vid: assign(vecs[vid]) for vid in ids}
+    qids = ids[:ANN_QUERIES]
+    rows = []
+    for q in qids:
+        dists = sorted((sqdist(vecs[q], c), ci) for ci, c in enumerate(cents))
+        probed = {ci for _, ci in dists[:IVF_PROBE]}
+        cand = {vid: v for vid, v in vecs.items() if vid != q and cell_of[vid] in probed}
+        rows.extend(topk_rank(q, cand, vecs[q], ANN_K))
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Main generation per sf dir.
+# ---------------------------------------------------------------------------
+def fold_of(url: str) -> int:
+    h = hashlib.md5(f"{url}|{FOLD_SEED}".encode()).hexdigest()[:8]
+    return int(h, 16) % N_FOLDS
+
+
+def generate(sf_dir: str, out_dir: str) -> dict:
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    node_rows: list[dict] = []
+    doc_rows: list[dict] = []
+    edge_rows: list[dict] = []
+    cluster_rows: list[dict] = []
+    dual_rows: list[dict] = []
+    bieso_rows: list[dict] = []
+    for rec in docs.sort_values("doc_id").itertuples():
+        plan = plan_doc(int(rec.doc_id), rec.text, rec.lang)
+        url = plan["url"]
+        page_cnt = len(plan["pages"])
+        regions: list[dict] = []
+        lines: list[dict] = []
+        for pg in plan["pages"]:
+            ridx = 0
+            for blk in pg["regions"]:
+                rtext = " ".join(ln["text"] for ln in blk["lines"])
+                row = {
+                    "url": url, "doc_id": int(rec.doc_id), "page_num": pg["pnum"],
+                    "page_w": 1240.0, "page_h": 3000.0, "page_cnt": page_cnt,
+                    "node_id": blk["node_id"], "kind": "TextRegion",
+                    "label": blk["label"], "text": rtext,
+                    "x1": float(blk["x1"]), "y1": float(blk["y1"]),
+                    "x2": float(blk["x2"]), "y2": float(blk["y2"]),
+                    "reading_index": ridx,
+                }
+                regions.append(row)
+                node_rows.append(row)
+                for li, ln in enumerate(blk["lines"]):
+                    lrow = {
+                        "url": url, "doc_id": int(rec.doc_id), "page_num": pg["pnum"],
+                        "page_w": 1240.0, "page_h": 3000.0, "page_cnt": page_cnt,
+                        "node_id": ln["node_id"], "kind": "TextLine",
+                        "label": blk["label"], "text": ln["text"],
+                        "x1": float(ln["x1"]), "y1": float(ln["y1"]),
+                        "x2": float(ln["x2"]), "y2": float(ln["y2"]),
+                        "reading_index": li,
+                    }
+                    lines.append(lrow)
+                    node_rows.append(lrow)
+                ridx += 1
+        # full text: all regions in canonical reading order
+        ordered = sorted(regions, key=lambda r: (r["page_num"], r["y1"], r["x1"], r["node_id"]))
+        full_text = " ".join(r["text"] for r in ordered)
+        doc_rows.append(
+            {
+                "doc_id": int(rec.doc_id), "url": url,
+                "host": f"host{plan['host']:03d}.example.org",
+                "fold": fold_of(url), "n_pages": page_cnt,
+                "full_text": full_text,
+            }
+        )
+        # edges per mode
+        label_of = {r["node_id"]: r["label"] for r in regions}
+        g1_edges: list[tuple[str, str, str]] = []
+        for mode in ("g1", "g2", "g1o"):
+            es = doc_edges_truth(regions, mode)
+            if mode == "g1":
+                g1_edges = es
+            for etype, s, d in es:
+                edge_rows.append(
+                    {"url": url, "doc_id": int(rec.doc_id), "mode": mode,
+                     "etype": etype, "src": s, "dst": d}
+                )
+        # clusters over oracle-scored g1 edges
+        nids = [r["node_id"] for r in regions]
+        same = [(s, d) for _, s, d in g1_edges if label_of[s] == label_of[d]]
+        n_cc = len(components(nids, same))
+        scored = [(s, d, 1.0 if label_of[s] == label_of[d] else 0.0) for _, s, d in g1_edges]
+        n_agglo = agglo_count(nids, scored)
+        cluster_rows.append({"url": url, "algo": "cc", "n_clusters": n_cc})
+        cluster_rows.append({"url": url, "algo": "agglo", "n_clusters": n_agglo})
+        # dual graph size: sum over endpoints of C(deg, 2)
+        deg: dict[str, int] = {}
+        for _, s, d in g1_edges:
+            deg[s] = deg.get(s, 0) + 1
+            deg[d] = deg.get(d, 0) + 1
+        dual_rows.append(
+            {"url": url, "n_dual_edges": sum(k * (k - 1) // 2 for k in deg.values())}
+        )
+        # bieso over line nodes
+        for nid, tag in bieso_truth(lines):
+            bieso_rows.append({"url": url, "node_id": nid, "bieso": tag})
+
+    os.makedirs(out_dir, exist_ok=True)
+    nodes_df = pd.DataFrame(node_rows)
+    pd.DataFrame(node_rows).to_parquet(os.path.join(out_dir, "nodes.parquet"), index=False)
+    pd.DataFrame(doc_rows).to_parquet(os.path.join(out_dir, "docs.parquet"), index=False)
+    pd.DataFrame(edge_rows).to_parquet(os.path.join(out_dir, "edges.parquet"), index=False)
+    pd.DataFrame(cluster_rows).to_parquet(os.path.join(out_dir, "clusters.parquet"), index=False)
+    pd.DataFrame(dual_rows).to_parquet(os.path.join(out_dir, "dual.parquet"), index=False)
+    pd.DataFrame(bieso_rows).to_parquet(os.path.join(out_dir, "bieso.parquet"), index=False)
+    region_rows = [r for r in node_rows if r["kind"] == "TextRegion"]
+    chi2_truth(region_rows).to_parquet(os.path.join(out_dir, "chi2.parquet"), index=False)
+    emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ann_lsh_truth(emb).to_parquet(os.path.join(out_dir, "ann_lsh.parquet"), index=False)
+    ann_ivf_truth(emb).to_parquet(os.path.join(out_dir, "ann_ivf.parquet"), index=False)
+    manifest = {
+        "sf_dir": sf_dir,
+        "n_docs": int(len(docs)),
+        "n_nodes": int(len(nodes_df)),
+        "n_edges_g1": int(sum(1 for e in edge_rows if e["mode"] == "g1")),
+        "chi2_features": CHI2_FEATURES,
+        "fold": {"seed": FOLD_SEED, "n_folds": N_FOLDS, "rule": "int(md5(url|seed)[:8],16) % n"},
+    }
+    with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def main() -> None:
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    for sf_dir in sf_dirs:
+        out_dir = os.path.join(REPO, "truth", os.path.basename(sf_dir.rstrip("/")))
+        m = generate(sf_dir, out_dir)
+        print(json.dumps(m))
+
+
+if __name__ == "__main__":
+    main()

@@ -101,7 +101,7 @@ def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """64-perm MinHash signature per doc (array<long>), JVM-side.
 
     Base shingle hash = xxhash64 (stable within Spark); permutations
-    h_i = (a_i * h + b_i) mod (2^61 - 1), minimum over shingles.
+    h_i = (a_i * h + b_i) mod (2^31 - 1), minimum over shingles.
     """
     sh = _shingles(docs, n).withColumn(
         "h", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
@@ -246,16 +246,21 @@ def _cosine(a, b):
 def embedding_near_dups(embeddings: DataFrame, threshold: float = COSINE_DUP_THRESHOLD) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b).
 
-    Brute-force formulation here is the *verification* kernel; the scale
-    path buckets by random-hyperplane LSH first (see
-    ops/similarity.ann_lsh) so the join is per-bucket, not all-pairs.
+    Scale shape: candidate pairs come from random-hyperplane LSH buckets
+    (``ops/similarity.lsh_candidate_pairs``: 24 tables x 3 planes — the
+    per-bucket equi-join, never an all-pairs cross join), then the exact
+    cosine verifies candidates only. Recall at the 0.45 threshold is
+    ~1 - 5e-4 per pair analytically; measured 100% of brute-force pairs
+    at sf0.001/sf0.01/sf0.1 (locked by tests/test_ops.py) — the same
+    verified-empirical contract the MinHash-LSH path carries.
     """
+    from .similarity import lsh_candidate_pairs
+
     e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cand = lsh_candidate_pairs(embeddings)
     return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cand.join(e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a")
+        .join(e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
         .withColumn("cosine", F.round(_cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")

@@ -27,9 +27,14 @@ LR_C_GRID = (0.01, 0.1, 1.0, 10.0)  # reference grid, tasks/DU_Task.py:96-98
 def assign_folds(urls: DataFrame, n_folds: int = 4, seed: int = 42) -> DataFrame:
     """Deterministic fold assignment per url: (url, fold int). Hash-based
     (not randomSplit) so assignment is stable under re-partitioning and
-    resume — the Spark analogue of the reference's pickled fold files."""
+    resume — the Spark analogue of the reference's pickled fold files.
+
+    Hash = first 8 hex chars of md5("url|seed") mod n_folds: md5 is
+    engine-portable (same rule in DuckDB / plain Python), so fold
+    assignments are verifiable outside Spark."""
+    h = F.conv(F.substring(F.md5(F.concat(F.col("url"), F.lit(f"|{seed}"))), 1, 8), 16, 10)
     return urls.select("url").distinct().withColumn(
-        "fold", F.pmod(F.xxhash64(F.col("url"), F.lit(seed)), F.lit(n_folds)).cast("int")
+        "fold", F.pmod(h.cast("long"), F.lit(n_folds)).cast("int")
     )
 
 

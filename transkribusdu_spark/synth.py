@@ -76,14 +76,11 @@ def doc_id_of_url(url: str) -> int:
     return int(url.rsplit("/", 1)[1])
 
 
-def _block_xml(
-    node_id: str, label: str, x1: int, y1: int, x2: int, y2: int, lines: list[tuple[str, str]], rng
-) -> str:
-    """One TextRegion with a 4-8 point polygon whose bounding box is the
-    block box (exercises polygon->rect fitting, ``util/Polygon.py:104``),
-    nested TextLines each holding one Unicode text node."""
+def _polygon_pts(x1: int, y1: int, x2: int, y2: int, rng) -> list[tuple[int, int]]:
+    """4-8 point polygon whose bounding box is exactly (x1,y1,x2,y2)
+    (exercises polygon->rect fitting, ``util/Polygon.py:104``): midpoints
+    are inserted on up to two sides, jittered INWARD so min/max stay put."""
     pts = [(x1, y1), (x2, y1), (x2, y2), (x1, y2)]
-    # Insert midpoints on up to two sides, jittered INWARD so min/max stay put.
     n_extra = int(rng.integers(0, 3))
     for _ in range(n_extra):
         side = int(rng.integers(0, 2))
@@ -91,23 +88,51 @@ def _block_xml(
             pts.insert(1, (_even((x1 + x2) / 2), y1 + 2))
         elif y2 - y1 > 8:
             pts.insert(3, (x2 - 2, _even((y1 + y2) / 2)))
-    points = " ".join(f"{px},{py}" for px, py in pts)
-    ls = []
+    return pts
+
+
+def _plan_block(
+    node_id: str, label: str, x1: int, y1: int, x2: int, y2: int,
+    lines: list[tuple[str, str]], rng,
+) -> dict:
+    """Layout plan for one TextRegion: polygon + per-line boxes/texts.
+    This dict IS the ground truth the XML renderer and the parser must
+    round-trip (tools/make_truth.py derives the oracle sidecars from it)."""
+    pts = _polygon_pts(x1, y1, x2, y2, rng)
+    ltups = []
     ly = y1
     for lid, ltext in lines:
-        ls.append(
-            f'<TextLine id="{lid}"><Coords points="{x1},{ly} {x2},{ly} {x2},{ly + LINE_H - 10} {x1},{ly + LINE_H - 10}"/>'
-            f"<TextEquiv><Unicode>{_xml_escape(ltext)}</Unicode></TextEquiv></TextLine>"
+        ltups.append(
+            {"node_id": lid, "text": ltext, "x1": x1, "y1": ly, "x2": x2, "y2": ly + LINE_H - 10}
         )
         ly += LINE_H
+    return {
+        "node_id": node_id, "label": label,
+        "x1": x1, "y1": y1, "x2": x2, "y2": y2,
+        "pts": pts, "lines": ltups,
+    }
+
+
+def _block_xml(blk: dict) -> str:
+    """Pure renderer: one planned TextRegion -> PageXML-like markup."""
+    points = " ".join(f"{px},{py}" for px, py in blk["pts"])
+    ls = []
+    for ln in blk["lines"]:
+        ls.append(
+            f'<TextLine id="{ln["node_id"]}"><Coords points="{ln["x1"]},{ln["y1"]} {ln["x2"]},{ln["y1"]} {ln["x2"]},{ln["y2"]} {ln["x1"]},{ln["y2"]}"/>'
+            f"<TextEquiv><Unicode>{_xml_escape(ln['text'])}</Unicode></TextEquiv></TextLine>"
+        )
     return (
-        f'<TextRegion id="{node_id}" custom="structure {{type:{label};}}">'
+        f'<TextRegion id="{blk["node_id"]}" custom="structure {{type:{blk["label"]};}}">'
         f'<Coords points="{points}"/>' + "".join(ls) + "</TextRegion>"
     )
 
 
-def render_doc(doc_id: int, text: str, lang: str) -> tuple[str, _dt.datetime, bytes]:
-    """Render one document. Returns (url, warc_ts, html bytes)."""
+def plan_doc(doc_id: int, text: str, lang: str) -> dict:
+    """Deterministic layout plan for one document — the single source of
+    truth shared by the XML renderer (:func:`render_doc`) and the oracle
+    sidecar generator (``tools/make_truth.py``). RNG draw order is part
+    of the contract: any change here changes the corpus."""
     doc_id = int(doc_id)
     rng = np.random.default_rng([SEED, doc_id])
     h = int(np.searchsorted(_HOST_CDF, rng.random()))
@@ -132,12 +157,12 @@ def render_doc(doc_id: int, text: str, lang: str) -> tuple[str, _dt.datetime, by
     pages_blocks = [blocks[i : i + content_per_page] for i in range(0, len(blocks), content_per_page)]
     if not pages_blocks:
         pages_blocks = [[]]
-    page_xmls = []
+    pages: list[dict] = []
     for pnum, pblocks in enumerate(pages_blocks, start=1):
         regions = []
         # Boilerplate: host-templated header at top.
         regions.append(
-            _block_xml(
+            _plan_block(
                 f"p{pnum}_hdr", "header", X_LEFT, 40, X_RIGHT, 40 + LINE_H - 10,
                 [(f"p{pnum}_hdr_l0", f"host{h:03d} navigation home about contact")], rng,
             )
@@ -151,27 +176,40 @@ def render_doc(doc_id: int, text: str, lang: str) -> tuple[str, _dt.datetime, by
             bh = LINE_H * len(blines)
             bid = f"p{pnum}_b{bi}"
             ltups = [(f"{bid}_l{li}", " ".join(ws)) for li, ws in enumerate(blines)]
-            regions.append(_block_xml(bid, label, x1, _even(y), x2, _even(y + bh - 10), ltups, rng))
+            regions.append(_plan_block(bid, label, x1, _even(y), x2, _even(y + bh - 10), ltups, rng))
             y += bh + BLOCK_GAP
         # Boilerplate: page number + footer nav at bottom.
         regions.append(
-            _block_xml(
+            _plan_block(
                 f"p{pnum}_pn", "page-number", _even(PAGE_W / 2 - 20), 2860, _even(PAGE_W / 2 + 20), 2900,
                 [(f"p{pnum}_pn_l0", str(pnum))], rng,
             )
         )
         regions.append(
-            _block_xml(
+            _plan_block(
                 f"p{pnum}_ftr", "other", X_LEFT, 2920, X_RIGHT, 2960,
                 [(f"p{pnum}_ftr_l0", f"copyright host{h:03d} terms privacy sitemap")], rng,
             )
         )
-        page_xmls.append(
-            f'<Page n="{pnum}" imageWidth="{PAGE_W}" imageHeight="{PAGE_H}">' + "".join(regions) + "</Page>"
-        )
-    html = f'<PcGts lang="{lang}">' + "".join(page_xmls) + "</PcGts>"
+        pages.append({"pnum": pnum, "regions": regions})
     warc_ts = EPOCH + _dt.timedelta(seconds=37 * doc_id)
-    return url, warc_ts, html.encode("utf-8")
+    return {
+        "doc_id": doc_id, "url": url, "host": h, "lang": lang,
+        "warc_ts": warc_ts, "pages": pages,
+    }
+
+
+def render_doc(doc_id: int, text: str, lang: str) -> tuple[str, _dt.datetime, bytes]:
+    """Render one document. Returns (url, warc_ts, html bytes)."""
+    plan = plan_doc(doc_id, text, lang)
+    page_xmls = [
+        f'<Page n="{pg["pnum"]}" imageWidth="{PAGE_W}" imageHeight="{PAGE_H}">'
+        + "".join(_block_xml(blk) for blk in pg["regions"])
+        + "</Page>"
+        for pg in plan["pages"]
+    ]
+    html = f'<PcGts lang="{plan["lang"]}">' + "".join(page_xmls) + "</PcGts>"
+    return plan["url"], plan["warc_ts"], html.encode("utf-8")
 
 
 def pages_from_documents(spark: SparkSession, sf_dir: str, multiplier: int = 1) -> DataFrame:
