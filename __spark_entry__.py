@@ -182,6 +182,26 @@ def _q_multitype_hist(spark, sf_dir):
     return nodes.groupBy("kind", "label").agg(F.count("*").alias("n"))
 
 
+def _q_edge_lcs_hist(spark, sf_dir):
+    """F13 edge text LCS ratio (reference Transformer_PageXml.py:492-534):
+    histogram of round-2 lcs/(na+nb-lcs) per edge type."""
+    from transkribusdu_spark.pipeline.edgefeats import edge_text_features
+
+    nodes = parse_pages(pages_from_documents(spark, sf_dir))
+    e = edge_text_features(build_edges(nodes), nodes)
+    return e.groupBy(
+        "etype", F.round(F.col("ef_lcs_ratio"), 2).alias("lcs2")
+    ).agg(F.count("*").alias("n"))
+
+
+def _q_neighbor_text(spark, sf_dir):
+    """F7 neighbour text concat (reference Transformer_PageXml.py:166-187)."""
+    from transkribusdu_spark.pipeline.edgefeats import neighbor_text_concat
+
+    nodes = parse_pages(pages_from_documents(spark, sf_dir))
+    return neighbor_text_concat(nodes, build_edges(nodes))
+
+
 CHI2_QUERY_FEATURES = [
     "fx1", "fy1", "fx2", "fy2", "fw", "fh", "farea",
     "fcx2", "fcy2", "feven", "fp1", "fplast",
@@ -279,6 +299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multitype_node_hist": _q_multitype_hist,
         "extract_predicted_smoothed": _q_extract_predicted_smoothed,
         "bieso_row_tags": _q_bieso_rows,
+        "edge_lcs_hist": _q_edge_lcs_hist,
+        "neighbor_text_concat": _q_neighbor_text,
         # --- fits (cross-document aggregations) ---
         "tfidf_vocab": _q_tfidf_vocab,
         "chi2_features": _q_chi2_features,
@@ -395,6 +417,29 @@ def oracle_sql() -> dict[str, str]:
         "node_label_hist": f"select label, count(*) n from {_t('nodes')} where kind = 'TextRegion' group by label",
         "multitype_node_hist": f"select kind, label, count(*) n from {_t('nodes')} group by kind, label",
         "bieso_row_tags": f"select bieso, count(*) n from {_t('bieso')} group by bieso",
+        "edge_lcs_hist": f"""
+            select etype, lcs2, count(*) n from {_t('edges')}
+            where mode = 'g1' group by etype, lcs2
+        """,
+        "neighbor_text_concat": f"""
+            with e as (select * from {_t('edges')} where mode = 'g1'),
+            inc as (select url, src node_id, dst nbr, etype from e
+                    union all
+                    select url, dst node_id, src nbr, etype from e),
+            nb as (select i.url, i.node_id,
+                          case i.etype when 'H' then 0 when 'V' then 1 else 2 end r,
+                          n.page_num, n.y1, n.x1, n.node_id nid, n.text t
+                   from inc i
+                   join {_t('nodes')} n
+                     on n.url = i.url and n.node_id = i.nbr and n.kind = 'TextRegion'),
+            agg as (select url, node_id,
+                           string_agg(t, ' ' order by r, page_num, y1, x1, nid) neighbor_text
+                    from nb group by url, node_id)
+            select n.url, n.node_id, coalesce(a.neighbor_text, '') neighbor_text
+            from {_t('nodes')} n
+            left join agg a on a.url = n.url and a.node_id = n.node_id
+            where n.kind = 'TextRegion'
+        """,
         "chi2_features": f"select feature, chi2 from {_t('chi2')}",
         "ann_lsh": f"select query_id, vec_id, cosine, rank from {_t('ann_lsh')}",
         "ann_ivf": f"select query_id, vec_id, cosine, rank from {_t('ann_ivf')}",

@@ -50,10 +50,17 @@ FOLD_SEED = 42
 N_FOLDS = 4
 
 
+def spark_round(x: float, digits: int) -> float:
+    """Mirror Spark's F.round on DOUBLE: HALF_UP over the SHORTEST
+    decimal representation (Java BigDecimal.valueOf goes through
+    Double.toString; Python repr produces the same shortest repr) —
+    NOT Python round (half-even) and NOT the exact binary expansion."""
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP))
+
+
 def round6_half_up(x: float) -> float:
-    """Mirror Spark's F.round / DuckDB round (HALF_UP on the exact
-    binary expansion) — NOT Python round (half-even)."""
-    return float(Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+    return spark_round(x, 6)
 
 
 # ---------------------------------------------------------------------------
@@ -177,6 +184,39 @@ def doc_edges_truth(regions: list[dict], mode: str) -> list[tuple[str, str, str]
                     if union > 0 and inter / union >= CROSS_PAGE_IOU:
                         edges.append(("CP", ra["node_id"], rb["node_id"]))
     return edges
+
+
+# ---------------------------------------------------------------------------
+# LCS ratio truth (spec: graph/Transformer_PageXml.py:594-618 —
+# pure-Python row DP, independent of the pipeline's numpy kernel).
+# ---------------------------------------------------------------------------
+def lcs_length_ref(a: str, b: str) -> int:
+    na, nb = len(a), len(b)
+    if nb < na:
+        a, na, b, nb = b, nb, a, na
+    if na == 0:
+        return 0
+    cur = [0] * (na + 1)
+    prev = [0] * (na + 1)
+    for i in range(nb):
+        bi = b[i]
+        prev, cur = cur, prev
+        cur[0] = 0
+        best = 0
+        for j in range(1, na + 1):
+            if bi == a[j - 1]:
+                best = max(1 + prev[j - 1], prev[j], best)
+            else:
+                best = max(prev[j], best)
+            cur[j] = best
+    return cur[na]
+
+
+def lcs2_ref(a: str, b: str) -> float:
+    lcs = lcs_length_ref(a, b)
+    denom = len(a) + len(b) - lcs
+    ratio = float(lcs) / denom if denom > 0 else 0.0
+    return spark_round(ratio, 2)
 
 
 # ---------------------------------------------------------------------------
@@ -473,8 +513,9 @@ def generate(sf_dir: str, out_dir: str) -> dict:
                 "full_text": full_text,
             }
         )
-        # edges per mode
+        # edges per mode; g1 edges also carry the LCS-ratio truth
         label_of = {r["node_id"]: r["label"] for r in regions}
+        text_of = {r["node_id"]: r["text"] for r in regions}
         g1_edges: list[tuple[str, str, str]] = []
         for mode in ("g1", "g2", "g1o"):
             es = doc_edges_truth(regions, mode)
@@ -483,7 +524,8 @@ def generate(sf_dir: str, out_dir: str) -> dict:
             for etype, s, d in es:
                 edge_rows.append(
                     {"url": url, "doc_id": int(rec.doc_id), "mode": mode,
-                     "etype": etype, "src": s, "dst": d}
+                     "etype": etype, "src": s, "dst": d,
+                     "lcs2": lcs2_ref(text_of[s], text_of[d]) if mode == "g1" else None}
                 )
         # clusters over oracle-scored g1 edges
         nids = [r["node_id"] for r in regions]

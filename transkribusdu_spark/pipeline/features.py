@@ -126,14 +126,15 @@ def edge_features(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     upstream), so this shuffles at most once.
     """
     geo = nodes.select(
-        "url", "node_id", "x1", "x2", "y1", "y2", "page_h",
+        "url", "node_id", "x1", "x2", "y1", "y2", "page_h", "page_w",
         F.col("label").alias("node_label"),
     )
     s = geo.select(
         "url", F.col("node_id").alias("src"),
         F.col("x1").alias("sx1"), F.col("x2").alias("sx2"),
         F.col("y1").alias("sy1"), F.col("y2").alias("sy2"),
-        F.col("page_h").alias("s_page_h"), F.col("node_label").alias("src_label"),
+        F.col("page_h").alias("s_page_h"), F.col("page_w").alias("s_page_w"),
+        F.col("node_label").alias("src_label"),
     )
     d = geo.select(
         "url", F.col("node_id").alias("dst"),

@@ -188,17 +188,29 @@ def viterbi_smooth(
     return src.groupBy("url").applyInPandas(run, schema=schema)
 
 
-def train_edge_classifier(edge_feats: DataFrame, reg_param: float = 0.01) -> LogisticRegressionModel:
+def train_edge_classifier(
+    edge_feats: DataFrame,
+    reg_param: float = 0.01,
+    feature_cols: list[str] | None = None,
+) -> LogisticRegressionModel:
+    """Conjugate continue/break edge classifier. ``feature_cols`` defaults
+    to the geometry set; pass geometry + ef_lcs_ratio + class-shifted
+    blocks (pipeline/edgefeats.py) for the full reference feature space
+    (F13/F16)."""
     train = edge_feats.withColumn(
         "y", (F.col("src_label") != F.col("dst_label")).cast("double")
     )
-    train = _assemble(train, EDGE_FEATURE_COLS)
+    train = _assemble(train, feature_cols or EDGE_FEATURE_COLS)
     lr = LogisticRegression(featuresCol="features", labelCol="y", regParam=reg_param, maxIter=50)
     return lr.fit(train)
 
 
-def predict_edges(model: LogisticRegressionModel, edge_feats: DataFrame) -> DataFrame:
-    scored = model.transform(_assemble(edge_feats, EDGE_FEATURE_COLS))
+def predict_edges(
+    model: LogisticRegressionModel,
+    edge_feats: DataFrame,
+    feature_cols: list[str] | None = None,
+) -> DataFrame:
+    scored = model.transform(_assemble(edge_feats, feature_cols or EDGE_FEATURE_COLS))
     proba = vector_to_array(F.col("probability"))
     return scored.select(
         "url", "src", "dst",
