@@ -150,15 +150,23 @@ def _q_fold_counts(spark, sf_dir):
 
 
 def _q_ecn_scores(spark, sf_dir):
-    from transkribusdu_spark.pipeline.ecn import ecn_score, init_weights
+    """M4 ECN: distributed training (full-batch Adam over cogrouped
+    per-doc numpy backprop) then inference — scores come from FITTED
+    weights, not an init stand-in. Rows-only: model output is not
+    SQL-expressible; quality is gated in tests/test_ecn_training.py
+    (>=0.97 node accuracy, byte-identical extraction near LR baseline)."""
+    from transkribusdu_spark.pipeline.ecn import ecn_score, train_ecn
     from transkribusdu_spark.pipeline.features import NODE_FEATURE_COLS
 
     nodes = parse_pages(pages_from_documents(spark, sf_dir))
-    edges = build_edges(nodes)
-    nf = node_features(nodes, edges)
-    w = init_weights(len(NODE_FEATURE_COLS), 16, 2)
+    edges = build_edges(nodes).cache()
+    nf = node_features(nodes, edges).cache()
+    w = train_ecn(nf, edges, NODE_FEATURE_COLS, epochs=30, lr=0.1)
     scored = ecn_score(nf, edges, w, NODE_FEATURE_COLS)
-    return scored.groupBy("url").agg(F.count("*").alias("n_scored"))
+    return scored.groupBy("url").agg(
+        F.count("*").alias("n_scored"),
+        F.sum((F.col("y_proba")[1] >= 0.5).cast("long")).alias("n_main_pred"),
+    )
 
 
 def _q_edges_hist_mode(mode):
