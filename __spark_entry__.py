@@ -142,6 +142,18 @@ def _q_extract_via_writeback(spark, sf_dir):
     return extract_text_spans(parse_pages(rendered)).select("doc_id", "extracted_text")
 
 
+def _q_extract_via_dsxml(spark, sf_dir):
+    """S6 DS-XML source: nodes -> DS-XML dialect -> DS parser ->
+    extraction; must still be byte-identical to documents.text."""
+    from transkribusdu_spark.sources.ds_xml import nodes_to_dsxml, parse_dsxml_pages
+
+    nodes = parse_pages(pages_from_documents(spark, sf_dir))
+    payload = nodes_to_dsxml(nodes).select(
+        "url", F.encode("dsxml", "UTF-8").alias("html")
+    )
+    return extract_text_spans(parse_dsxml_pages(payload)).select("doc_id", "extracted_text")
+
+
 def _q_fold_counts(spark, sf_dir):
     from transkribusdu_spark.pipeline.cv import assign_folds
 
@@ -188,6 +200,44 @@ def _q_bieso_rows(spark, sf_dir):
 def _q_multitype_hist(spark, sf_dir):
     nodes = parse_pages(pages_from_documents(spark, sf_dir), kinds=("TextRegion", "TextLine"))
     return nodes.groupBy("kind", "label").agg(F.count("*").alias("n"))
+
+
+def _q_edges_hist_shrunk(spark, sf_dir):
+    """P5 BBoxDeltaFun shrink then g1 sweep (reference
+    NodeType_PageXml.py:31-43): edges over shrink-reduced boxes."""
+    from transkribusdu_spark.pipeline.parse import shrink_bboxes
+
+    nodes = shrink_bboxes(parse_pages(pages_from_documents(spark, sf_dir)))
+    return build_edges(nodes).groupBy("etype").agg(F.count("*").alias("n"))
+
+
+def _q_node_geom_nopage(spark, sf_dir):
+    """F5 page-free geometry (reference Transformer_PageXml.py:106-141)."""
+    from transkribusdu_spark.pipeline.features import NOPAGE_GEOM_COLS, node_geom_nopage
+
+    nodes = parse_pages(pages_from_documents(spark, sf_dir))
+    g = node_geom_nopage(nodes)
+    return g.select(
+        "url", "node_id", *[F.round(F.col(c), 6).alias(c) for c in NOPAGE_GEOM_COLS]
+    )
+
+
+def _q_neighbor_class_mask(spark, sf_dir):
+    """J10 neighbour-class mask (reference graph/Graph.py:376-393),
+    bit-encoded per same-page / cross-page block."""
+    from transkribusdu_spark.pipeline.features import neighbor_class_mask
+
+    nodes = parse_pages(pages_from_documents(spark, sf_dir))
+    return neighbor_class_mask(nodes, build_edges(nodes))
+
+
+def _q_edges_cpm(spark, sf_dir):
+    """J6 continuous-page mirror edges (reference
+    Graph_MultiPageXml.py:78-130): per-url counts."""
+    from transkribusdu_spark.pipeline.edges import build_continuous_edges
+
+    nodes = parse_pages(pages_from_documents(spark, sf_dir))
+    return build_continuous_edges(nodes).groupBy("url").agg(F.count("*").alias("n_cpm"))
 
 
 def _q_edge_lcs_hist(spark, sf_dir):
@@ -292,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_full_text": _q_extract_full_text,
         "extract_via_json_source": _q_extract_via_json,
         "extract_via_writeback_roundtrip": _q_extract_via_writeback,
+        "extract_via_dsxml_source": _q_extract_via_dsxml,
         "fold_counts": _q_fold_counts,
         "ecn_scores": _q_ecn_scores,
         "parse_nodes": _q_parse_nodes,
@@ -309,6 +360,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bieso_row_tags": _q_bieso_rows,
         "edge_lcs_hist": _q_edge_lcs_hist,
         "neighbor_text_concat": _q_neighbor_text,
+        "edges_hist_shrunk": _q_edges_hist_shrunk,
+        "edges_cpm_per_doc": _q_edges_cpm,
+        "node_geom_nopage": _q_node_geom_nopage,
+        "neighbor_class_mask": _q_neighbor_class_mask,
         # --- fits (cross-document aggregations) ---
         "tfidf_vocab": _q_tfidf_vocab,
         "chi2_features": _q_chi2_features,
@@ -365,6 +420,36 @@ def _t(name: str) -> str:
 _MARKER_SQL = {
     lang: ", ".join(f"'{m}'" for m in ms) for lang, ms in textstats.LANG_MARKERS.items()
 }
+
+# J10 neighbour-class mask oracle: same bit encoding (ALL_LABELS order)
+# over the truth edges + nodes sidecars.
+from transkribusdu_spark.schemas import ALL_LABELS as _ALL_LABELS  # noqa: E402
+
+_SP_BITS = " + ".join(
+    f"max(case when etype <> 'CP' and nbr_label = '{lab}' then {1 << i} else 0 end)"
+    for i, lab in enumerate(_ALL_LABELS)
+)
+_CP_BITS = " + ".join(
+    f"max(case when etype = 'CP' and nbr_label = '{lab}' then {1 << i} else 0 end)"
+    for i, lab in enumerate(_ALL_LABELS)
+)
+_NBR_MASK_SQL = f"""
+    with e as (select * from {_t('edges')} where mode = 'g1'),
+    inc as (select url, src node_id, dst nbr, etype from e
+            union all
+            select url, dst node_id, src nbr, etype from e),
+    nb as (select i.url, i.node_id, i.etype, n.label nbr_label
+           from inc i
+           join {_t('nodes')} n
+             on n.url = i.url and n.node_id = i.nbr and n.kind = 'TextRegion'),
+    m as (select url, node_id, ({_SP_BITS})::bigint sp_mask, ({_CP_BITS})::bigint cp_mask
+          from nb group by url, node_id)
+    select n.url, n.node_id,
+           coalesce(m.sp_mask, 0)::bigint sp_mask, coalesce(m.cp_mask, 0)::bigint cp_mask
+    from {_t('nodes')} n
+    left join m on m.url = n.url and m.node_id = n.node_id
+    where n.kind = 'TextRegion'
+"""
 _STOP_SQL = ", ".join(f"'{m}'" for m in textstats.EN_STOPWORDS)
 
 _SHINGLE_CTE = """
@@ -429,6 +514,10 @@ def oracle_sql() -> dict[str, str]:
             select etype, lcs2, count(*) n from {_t('edges')}
             where mode = 'g1' group by etype, lcs2
         """,
+        "edges_hist_shrunk": f"select etype, count(*) n from {_t('edges')} where mode = 'g1s' group by etype",
+        "edges_cpm_per_doc": f"select url, count(*) n_cpm from {_t('edges')} where mode = 'cpm' group by url",
+        "node_geom_nopage": f"select * from {_t('geom_nopage')}",
+        "neighbor_class_mask": _NBR_MASK_SQL,
         "neighbor_text_concat": f"""
             with e as (select * from {_t('edges')} where mode = 'g1'),
             inc as (select url, src node_id, dst nbr, etype from e
@@ -457,6 +546,9 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, text as extracted_text from documents"
         ),
         "extract_via_writeback_roundtrip": (
+            "select doc_id, text as extracted_text from documents"
+        ),
+        "extract_via_dsxml_source": (
             "select doc_id, text as extracted_text from documents"
         ),
         "token_count": """

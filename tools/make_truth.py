@@ -466,6 +466,7 @@ def generate(sf_dir: str, out_dir: str) -> dict:
     doc_rows: list[dict] = []
     edge_rows: list[dict] = []
     cluster_rows: list[dict] = []
+    geom_rows: list[dict] = []
     dual_rows: list[dict] = []
     bieso_rows: list[dict] = []
     for rec in docs.sort_values("doc_id").itertuples():
@@ -527,6 +528,72 @@ def generate(sf_dir: str, out_dir: str) -> dict:
                      "etype": etype, "src": s, "dst": d,
                      "lcs2": lcs2_ref(text_of[s], text_of[d]) if mode == "g1" else None}
                 )
+        # J6 continuous-page mirror edges (spec: Graph_MultiPageXml.py:
+        # 78-130 — fake page of lower half p + mirrored upper half p+1,
+        # vertical g1 sweep, keep cross-page links)
+        by_page: dict[int, list[dict]] = {}
+        for r in regions:
+            by_page.setdefault(r["page_num"], []).append(r)
+        for p in sorted(by_page):
+            if p + 1 not in by_page:
+                continue
+            h0, w1 = 3000.0, 1240.0
+            lower = [r for r in by_page[p] if (r["y1"] + r["y2"]) / 2.0 >= h0 / 2.0]
+            upper = [r for r in by_page[p + 1] if (r["y1"] + r["y2"]) / 2.0 <= h0 / 2.0]
+            if not lower or not upper:
+                continue
+            fake = []
+            for r in lower:
+                fake.append((r["node_id"], p, r["x1"], r["x2"], r["y1"] - h0 / 2.0, r["y2"] - h0 / 2.0))
+            for r in upper:
+                fake.append((r["node_id"], p + 1, w1 - r["x2"], w1 - r["x1"], r["y1"] + h0 / 2.0, r["y2"] + h0 / 2.0))
+            fa1 = [f[2] for f in fake]
+            fa2 = [f[3] for f in fake]
+            fb1 = [f[4] for f in fake]
+            fb2 = [f[5] for f in fake]
+            for i, j, _, _ in los_pass(fa1, fa2, fb1, fb2, "g1"):
+                if fake[i][1] != fake[j][1]:
+                    edge_rows.append(
+                        {"url": url, "doc_id": int(rec.doc_id), "mode": "cpm",
+                         "etype": "CPM", "src": fake[i][0], "dst": fake[j][0],
+                         "lcs2": None}
+                    )
+        # g1 over P5-shrunk boxes (spec: NodeType_PageXml.py:31-43 —
+        # dx = max(w*0.066, min(20, w/3)), round-half-even)
+        shrunk = []
+        for r in regions:
+            w, h = r["x2"] - r["x1"], r["y2"] - r["y1"]
+            dx = max(w * 0.066, min(20.0, w / 3.0))
+            dy = max(h * 0.066, min(20.0, h / 3.0))
+            shrunk.append(
+                dict(r, x1=float(round(r["x1"] + dx)), x2=float(round(r["x2"] - dx)),
+                     y1=float(round(r["y1"] + dy)), y2=float(round(r["y2"] - dy)))
+            )
+        for etype, s, d in doc_edges_truth(shrunk, "g1"):
+            edge_rows.append(
+                {"url": url, "doc_id": int(rec.doc_id), "mode": "g1s",
+                 "etype": etype, "src": s, "dst": d, "lcs2": None}
+            )
+        # F5 page-free geometry truth (mirror of node_geom_nopage ops)
+        mx = float(max(r["x2"] for r in regions))
+        my = float(max(r["y2"] for r in regions))
+        mw = float(sum(r["x2"] - r["x1"] for r in regions)) / len(regions)
+        mh = float(sum(r["y2"] - r["y1"] for r in regions)) / len(regions)
+        for r in regions:
+            x1n, x2n = r["x1"] / mx, r["x2"] / mx
+            y1n, y2n = r["y1"] / my, r["y2"] / my
+            wn, hn = (r["x2"] - r["x1"]) / mw, (r["y2"] - r["y1"]) / mh
+            geom_rows.append(
+                {
+                    "url": url, "node_id": r["node_id"],
+                    "ng_x1": round6_half_up(x1n), "ng_x2": round6_half_up(x2n),
+                    "ng_x1_sq": round6_half_up(x1n * x1n), "ng_x2_sq": round6_half_up(x2n * x2n),
+                    "ng_y1": round6_half_up(y1n), "ng_y2": round6_half_up(y2n),
+                    "ng_y1_sq": round6_half_up(y1n * y1n), "ng_y2_sq": round6_half_up(y2n * y2n),
+                    "ng_w": round6_half_up(wn), "ng_h": round6_half_up(hn),
+                    "ng_w_sq": round6_half_up(wn * wn), "ng_h_sq": round6_half_up(hn * hn),
+                }
+            )
         # clusters over oracle-scored g1 edges
         nids = [r["node_id"] for r in regions]
         same = [(s, d) for _, s, d in g1_edges if label_of[s] == label_of[d]]
@@ -555,6 +622,7 @@ def generate(sf_dir: str, out_dir: str) -> dict:
     pd.DataFrame(cluster_rows).to_parquet(os.path.join(out_dir, "clusters.parquet"), index=False)
     pd.DataFrame(dual_rows).to_parquet(os.path.join(out_dir, "dual.parquet"), index=False)
     pd.DataFrame(bieso_rows).to_parquet(os.path.join(out_dir, "bieso.parquet"), index=False)
+    pd.DataFrame(geom_rows).to_parquet(os.path.join(out_dir, "geom_nopage.parquet"), index=False)
     region_rows = [r for r in node_rows if r["kind"] == "TextRegion"]
     chi2_truth(region_rows).to_parquet(os.path.join(out_dir, "chi2.parquet"), index=False)
     emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))

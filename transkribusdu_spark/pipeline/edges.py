@@ -270,6 +270,87 @@ def edges_from_pages(pages: DataFrame, mode: str = "g1") -> DataFrame:
     return pages.select("url", "html").mapInPandas(run, schema=EDGES_SCHEMA)
 
 
+def doc_continuous_edges_arrays(
+    url: str,
+    node_id: np.ndarray,
+    page_num: np.ndarray,
+    page_h: np.ndarray,
+    page_w: np.ndarray,
+    x1: np.ndarray,
+    y1: np.ndarray,
+    x2: np.ndarray,
+    y2: np.ndarray,
+    out: dict[str, list],
+    mirror: bool = True,
+) -> None:
+    """J6 continuous-page (book-scan) edges, reference
+    ``graph/Graph_MultiPageXml.py:78-130``: for consecutive pages, stack
+    the lower half of page p and the (optionally horizontally mirrored)
+    upper half of page p+1 into a fake page, run the vertical g1 sweep,
+    keep only the edges that cross the page boundary (etype 'CPM')."""
+    pages = np.unique(page_num)
+    rows_of = {int(p): np.nonzero(page_num == p)[0] for p in pages}
+    for p in pages:
+        p = int(p)
+        if p + 1 not in rows_of:
+            continue
+        ra, rb = rows_of[p], rows_of[p + 1]
+        h0 = float(page_h[ra[0]])
+        w1 = float(page_w[rb[0]])
+        cy_a = (y1[ra] + y2[ra]) / 2.0
+        cy_b = (y1[rb] + y2[rb]) / 2.0
+        sel_a = ra[cy_a >= h0 / 2.0]
+        sel_b = rb[cy_b <= float(page_h[rb[0]]) / 2.0]
+        if not len(sel_a) or not len(sel_b):
+            continue
+        ids = np.concatenate([node_id[sel_a], node_id[sel_b]])
+        pn = np.concatenate([page_num[sel_a], page_num[sel_b]])
+        fy1 = np.concatenate([y1[sel_a] - h0 / 2.0, y1[sel_b] + h0 / 2.0])
+        fy2 = np.concatenate([y2[sel_a] - h0 / 2.0, y2[sel_b] + h0 / 2.0])
+        if mirror:
+            fx1 = np.concatenate([x1[sel_a], w1 - x2[sel_b]])
+            fx2 = np.concatenate([x2[sel_a], w1 - x1[sel_b]])
+        else:
+            fx1 = np.concatenate([x1[sel_a], x1[sel_b]])
+            fx2 = np.concatenate([x2[sel_a], x2[sel_b]])
+        for i, j, length, ov, iou in _los_pass(ids, fx1, fx2, fy1, fy2, "g1"):
+            if pn[i] == pn[j]:
+                continue
+            out["url"].append(url)
+            out["page_num"].append(p)
+            out["src"].append(ids[i])
+            out["dst"].append(ids[j])
+            out["etype"].append("CPM")
+            out["length"].append(float(max(length, 0.0)))
+            out["overlap"].append(float(ov))
+            out["iou"].append(float(iou))
+
+
+def build_continuous_edges(nodes: DataFrame, mirror: bool = True) -> DataFrame:
+    """nodes -> continuous-page mirror edges (J6); same one-shuffle
+    applyInPandas shape as :func:`build_edges`."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _empty_out()
+        if len(pdf):
+            doc_continuous_edges_arrays(
+                pdf["url"].iloc[0],
+                pdf["node_id"].to_numpy(),
+                pdf["page_num"].to_numpy(),
+                pdf["page_h"].to_numpy(dtype=np.float64),
+                pdf["page_w"].to_numpy(dtype=np.float64),
+                pdf["x1"].to_numpy(dtype=np.float64),
+                pdf["y1"].to_numpy(dtype=np.float64),
+                pdf["x2"].to_numpy(dtype=np.float64),
+                pdf["y2"].to_numpy(dtype=np.float64),
+                out,
+                mirror=mirror,
+            )
+        return pd.DataFrame(out)
+
+    return nodes.groupBy("url").applyInPandas(run, schema=EDGES_SCHEMA)
+
+
 def build_edges(nodes: DataFrame, short_only: bool = False, mode: str = "g1") -> DataFrame:
     """nodes -> edges: one shuffle on url, then per-doc numpy kernels.
 

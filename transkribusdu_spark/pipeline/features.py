@@ -35,6 +35,16 @@ NODE_FEATURE_COLS = [
     "nf_host_rep", "nf_host_rep_frac",
 ]
 
+# F8 completion (reference Node1HotFeatures, Transformer_PageXml.py:193-218):
+# the remaining char-class predicates (ASCII-regex parity of Python
+# str.isalnum/isalpha/islower/isupper) and the from-page-end one-hots
+# (pnum - pagecnt clamped to {-2,-1,0}).
+NODE_F8_EXTRA_COLS = [
+    "nf_is_alnum", "nf_is_alpha", "nf_is_lower", "nf_is_upper",
+    "nf_last2", "nf_earlier",
+]
+NODE_FEATURE_COLS_FULL = NODE_FEATURE_COLS + NODE_F8_EXTRA_COLS
+
 EDGE_FEATURE_COLS = [
     "ef_is_h", "ef_is_v", "ef_is_cp", "ef_length", "ef_length_sq",
     "ef_length_norm", "ef_overlap", "ef_iou", "ef_align_left",
@@ -70,6 +80,23 @@ def node_features(nodes: DataFrame, edges: DataFrame | None = None) -> DataFrame
         .withColumn("nf_is_title", txt.rlike(r"^([A-Z][a-z]*)( [A-Z][a-z]*)*$").cast("double"))
         .withColumn("nf_frac_upper", F.when(F.length(txt) > 0, n_upper / F.length(txt)).otherwise(F.lit(0.0)))
         .withColumn("nf_frac_digit", F.when(F.length(txt) > 0, n_digit / F.length(txt)).otherwise(F.lit(0.0)))
+        # F8 completion (ASCII parity of Python str predicates)
+        .withColumn("nf_is_alnum", txt.rlike(r"^[0-9A-Za-z]+$").cast("double"))
+        .withColumn("nf_is_alpha", txt.rlike(r"^[A-Za-z]+$").cast("double"))
+        .withColumn(
+            "nf_is_lower",
+            (txt.rlike(r"[a-z]") & ~txt.rlike(r"[A-Z]")).cast("double"),
+        )
+        .withColumn(
+            "nf_is_upper",
+            (txt.rlike(r"[A-Z]") & ~txt.rlike(r"[a-z]")).cast("double"),
+        )
+        .withColumn(
+            "nf_last2", (c("page_num") - c("page_cnt") == -1).cast("double")
+        )
+        .withColumn(
+            "nf_earlier", (c("page_num") - c("page_cnt") <= -2).cast("double")
+        )
     )
     # Host-repetition: how many distinct documents of the same host carry
     # this exact node text (template/boilerplate repeats; unique content
@@ -159,6 +186,73 @@ def edge_features(edges: DataFrame, nodes: DataFrame) -> DataFrame:
             "ef_align_center",
             (F.abs((c("sx1") + c("sx2")) - (c("dx1") + c("dx2"))) < 2 * ALIGN_EPS).cast("double"),
         )
+    )
+
+
+NOPAGE_GEOM_COLS = [
+    "ng_x1", "ng_x2", "ng_x1_sq", "ng_x2_sq",
+    "ng_y1", "ng_y2", "ng_y1_sq", "ng_y2_sq",
+    "ng_w", "ng_h", "ng_w_sq", "ng_h_sq",
+]
+
+
+def node_geom_nopage(nodes: DataFrame) -> DataFrame:
+    """F5 page-free geometry (reference NodeTransformerXYWH_NoPage,
+    ``Transformer_PageXml.py:106-141``): coordinates normalized by the
+    DOCUMENT's max x2/y2 (not the page size), widths/heights by the
+    document's mean width/height — one groupBy(url) aggregate joined
+    back (the reference computes per graph; a graph is one document)."""
+    c = F.col
+    stats = nodes.groupBy("url").agg(
+        F.max("x2").alias("_mx"), F.max("y2").alias("_my"),
+        F.avg(c("x2") - c("x1")).alias("_mw"), F.avg(c("y2") - c("y1")).alias("_mh"),
+    )
+    j = nodes.join(stats, "url")
+    x1n, x2n = c("x1") / c("_mx"), c("x2") / c("_mx")
+    y1n, y2n = c("y1") / c("_my"), c("y2") / c("_my")
+    wn = (c("x2") - c("x1")) / c("_mw")
+    hn = (c("y2") - c("y1")) / c("_mh")
+    exprs = {
+        "ng_x1": x1n, "ng_x2": x2n, "ng_x1_sq": x1n * x1n, "ng_x2_sq": x2n * x2n,
+        "ng_y1": y1n, "ng_y2": y2n, "ng_y1_sq": y1n * y1n, "ng_y2_sq": y2n * y2n,
+        "ng_w": wn, "ng_h": hn, "ng_w_sq": wn * wn, "ng_h_sq": hn * hn,
+    }
+    for name in NOPAGE_GEOM_COLS:
+        j = j.withColumn(name, exprs[name])
+    return j.drop("_mx", "_my", "_mw", "_mh")
+
+
+def neighbor_class_mask(nodes: DataFrame, edges: DataFrame,
+                        labels: tuple[str, ...] | None = None) -> DataFrame:
+    """J10 neighbour-class mask (reference ``graph/Graph.py:376-393``):
+    per node, one boolean per label for same-page neighbours and one per
+    label for cross-page neighbours. Bit-encoded into two longs (bit i =
+    label i in ``labels`` order) so the mask is hashable/verifiable."""
+    from ..schemas import ALL_LABELS
+
+    labs = list(labels) if labels is not None else list(ALL_LABELS)
+    nbr_lab = nodes.select(
+        "url", F.col("node_id").alias("nbr"), F.col("label").alias("nbr_label")
+    )
+    inc = edges.select(
+        "url", F.col("src").alias("node_id"), F.col("dst").alias("nbr"), "etype"
+    ).unionByName(
+        edges.select("url", F.col("dst").alias("node_id"), F.col("src").alias("nbr"), "etype")
+    ).join(nbr_lab, ["url", "nbr"])
+    same = F.col("etype") != "CP"
+    aggs = []
+    for i, lab in enumerate(labs):
+        hit = (F.col("nbr_label") == lab).cast("long")
+        aggs.append((F.max(F.when(same, hit).otherwise(0)) * (1 << i)).alias(f"_sp{i}"))
+        aggs.append((F.max(F.when(~same, hit).otherwise(0)) * (1 << i)).alias(f"_cp{i}"))
+    m = inc.groupBy("url", "node_id").agg(*aggs)
+    sp = sum([F.col(f"_sp{i}") for i in range(1, len(labs))], F.col("_sp0"))
+    cp = sum([F.col(f"_cp{i}") for i in range(1, len(labs))], F.col("_cp0"))
+    m = m.select("url", "node_id", sp.alias("sp_mask"), cp.alias("cp_mask"))
+    return (
+        nodes.select("url", "node_id")
+        .join(m, ["url", "node_id"], "left")
+        .fillna({"sp_mask": 0, "cp_mask": 0})
     )
 
 

@@ -341,6 +341,30 @@ def parse_pages(
     return pages.select(*cols).mapInPandas(run, schema=NODES_SCHEMA)
 
 
+def shrink_bboxes(nodes: DataFrame, w_factor: float = 0.066, cap: float = 20.0) -> DataFrame:
+    """P5 BBoxDeltaFun shrink (reference ``graph/NodeType_PageXml.py:31-43,
+    171-186``): reduce each box by dx = max(w*0.066, min(20, w/3)) per
+    axis so overlapping polygons stop confusing the line-of-sight sweep.
+    Rounding = round-half-even (``F.rint`` == Python round == the
+    reference's ``int(round(v))``), column expressions only."""
+    from pyspark.sql import functions as F
+
+    def d(lo, hi):
+        w = F.col(hi) - F.col(lo)
+        return F.greatest(w * w_factor, F.least(F.lit(cap), w / 3.0))
+
+    dx, dy = d("x1", "x2"), d("y1", "y2")
+    return (
+        nodes.withColumn("_x1", F.rint(F.col("x1") + dx))
+        .withColumn("x2", F.rint(F.col("x2") - dx))
+        .withColumn("_y1", F.rint(F.col("y1") + dy))
+        .withColumn("y2", F.rint(F.col("y2") - dy))
+        .drop("x1", "y1")
+        .withColumnRenamed("_x1", "x1")
+        .withColumnRenamed("_y1", "y1")
+    )
+
+
 def parse_errors(pages: DataFrame) -> DataFrame:
     """Audit channel: one row per document that fails to parse
     (url, error). Same map-only shape as :func:`parse_pages`."""
