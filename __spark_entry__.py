@@ -231,6 +231,30 @@ def _q_neighbor_class_mask(spark, sf_dir):
     return neighbor_class_mask(nodes, build_edges(nodes))
 
 
+def _q_table_rows(spark, sf_dir):
+    """Full C9 + E5: detect rows on the deterministic table fixture
+    family (cut-candidate mining + BIESO-coherence grid search,
+    reference rowDetection.py:389-467), then evaluate the row partition
+    against ground truth with the jaccard partition matcher
+    (DU_Table_Evaluator semantics)."""
+    from transkribusdu_spark.pipeline.tablerows import detect_table_rows, eval_row_clusters
+    from transkribusdu_spark.synth import table_lines_df
+
+    lines = table_lines_df(spark, n_tables=40).cache()
+    pred = detect_table_rows(lines)
+    ev = eval_row_clusters(pred, lines, simil=1.0)
+    per_table = lines.groupBy("url", "table_id").agg(F.count("*").alias("n_lines"))
+    return (
+        ev.join(per_table, "url")
+        .select(
+            F.col("table_id").cast("int").alias("table_id"),
+            (F.col("n_ok") + F.col("n_miss")).alias("n_rows"),
+            F.col("n_lines"),
+            F.col("f1").alias("row_f1"),
+        )
+    )
+
+
 def _q_edges_cpm(spark, sf_dir):
     """J6 continuous-page mirror edges (reference
     Graph_MultiPageXml.py:78-130): per-url counts."""
@@ -362,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_text_concat": _q_neighbor_text,
         "edges_hist_shrunk": _q_edges_hist_shrunk,
         "edges_cpm_per_doc": _q_edges_cpm,
+        "table_rows_detected": _q_table_rows,
         "node_geom_nopage": _q_node_geom_nopage,
         "neighbor_class_mask": _q_neighbor_class_mask,
         # --- fits (cross-document aggregations) ---
@@ -516,6 +541,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "edges_hist_shrunk": f"select etype, count(*) n from {_t('edges')} where mode = 'g1s' group by etype",
         "edges_cpm_per_doc": f"select url, count(*) n_cpm from {_t('edges')} where mode = 'cpm' group by url",
+        "table_rows_detected": f"select table_id, n_rows::bigint n_rows, n_lines::bigint n_lines, row_f1 from {_t('tables')}",
         "node_geom_nopage": f"select * from {_t('geom_nopage')}",
         "neighbor_class_mask": _NBR_MASK_SQL,
         "neighbor_text_concat": f"""

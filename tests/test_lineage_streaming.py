@@ -35,6 +35,9 @@ def test_kill_and_rerun_resumes(spark, sf_dir, tmp_path):
     status = verify_lineage(spark, out_dir, expected_docs=total)
     assert status["complete"], status
     assert status["distinct_urls"] == total
+    # regression: multi-run lineage must count each document exactly once
+    # (previously the second run re-counted the first run's output)
+    assert status["lineage_docs"] == status["output_rows"] == total, status
     # rerun again: nothing pending (idempotent)
     assert pending_pages(spark, pages, out_dir).count() == 0
 

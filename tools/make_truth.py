@@ -614,7 +614,23 @@ def generate(sf_dir: str, out_dir: str) -> dict:
         for nid, tag in bieso_truth(lines):
             bieso_rows.append({"url": url, "node_id": nid, "bieso": tag})
 
+    # Full-C9 table fixture truth: row/line counts and the perfect-f1
+    # expectation come from the generator's plan (identifiability of the
+    # fixture family is the contract the detector must meet).
+    from transkribusdu_spark.synth import plan_table
+
+    table_rows = []
+    for tid in range(40):
+        plan = plan_table(tid)
+        table_rows.append(
+            {
+                "table_id": tid, "n_rows": int(plan["n_rows"]),
+                "n_lines": len(plan["lines"]), "row_f1": 1.0,
+            }
+        )
+
     os.makedirs(out_dir, exist_ok=True)
+    pd.DataFrame(table_rows).to_parquet(os.path.join(out_dir, "tables.parquet"), index=False)
     nodes_df = pd.DataFrame(node_rows)
     pd.DataFrame(node_rows).to_parquet(os.path.join(out_dir, "nodes.parquet"), index=False)
     pd.DataFrame(doc_rows).to_parquet(os.path.join(out_dir, "docs.parquet"), index=False)

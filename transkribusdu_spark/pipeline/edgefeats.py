@@ -237,6 +237,34 @@ def edge_geometry21(edge_feats: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F20: node aggregation of incident-edge features (reference
+# NodeEdgeTransformer, ``graph/Transformer_PageXml.py:620-648``).
+# ---------------------------------------------------------------------------
+def node_edge_agg(
+    nodes: DataFrame,
+    edge_feats: DataFrame,
+    feature_cols: list[str],
+    agg_func: str = "sum",
+) -> DataFrame:
+    """Per node: aggregate (sum/mean/max) of each edge feature over the
+    node's incident edges (both directions); nodes without edges get 0.
+    Output columns ``ne_{agg}_{col}``."""
+    fn = {"sum": F.sum, "mean": F.avg, "max": F.max}[agg_func]
+    inc = edge_feats.select(
+        "url", F.col("src").alias("node_id"), *feature_cols
+    ).unionByName(edge_feats.select("url", F.col("dst").alias("node_id"), *feature_cols))
+    out_cols = [f"ne_{agg_func}_{c}" for c in feature_cols]
+    aggd = inc.groupBy("url", "node_id").agg(
+        *[fn(F.col(c)).alias(o) for c, o in zip(feature_cols, out_cols)]
+    )
+    return (
+        nodes.select("url", "node_id")
+        .join(aggd, ["url", "node_id"], "left")
+        .fillna({o: 0.0 for o in out_cols})
+    )
+
+
+# ---------------------------------------------------------------------------
 # F16: per-edge-class feature shifting.
 # ---------------------------------------------------------------------------
 def edge_class_shift(

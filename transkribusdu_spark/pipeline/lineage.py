@@ -67,13 +67,21 @@ def run_with_lineage(
     run_id: str,
     input_snapshot: str = "parquet",
 ) -> None:
-    """Write extracted output + lineage rows under ``out_dir``."""
-    extracted.write.mode("append").parquet(os.path.join(out_dir, "extracted"))
-    lin = with_lineage(
-        extracted.sparkSession.read.parquet(os.path.join(out_dir, "extracted")),
-        run_id,
-        input_snapshot,
+    """Write extracted output + lineage rows under ``out_dir``.
+
+    The output rows carry this run's id, and lineage is computed by
+    re-reading ONLY this run's increment from disk — so (a) checksums
+    cover the bytes that actually landed, and (b) resumed runs never
+    double-count earlier runs' documents in the lineage table (each
+    document is counted by exactly one run_id)."""
+    ext_path = os.path.join(out_dir, "extracted")
+    extracted.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(ext_path)
+    increment = (
+        extracted.sparkSession.read.parquet(ext_path)
+        .filter(F.col("run_id") == run_id)
+        .drop("run_id")
     )
+    lin = with_lineage(increment, run_id, input_snapshot)
     lin.write.mode("append").parquet(os.path.join(out_dir, "lineage"))
 
 

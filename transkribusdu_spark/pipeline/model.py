@@ -104,6 +104,34 @@ def apply_atmostone(
     ).drop("_r")
 
 
+def apply_xor(
+    scored: DataFrame,
+    label: str,
+    proba_col: str,
+    fallback: str = "other",
+    pred_col: str = "pred_label",
+    scope: tuple[str, ...] = ("url", "page_num"),
+) -> DataFrame:
+    """Hard logical constraint XOR — EXACTLY one node carries ``label``
+    per scope (reference M2 AD3+ constraint family, ``graph/Graph.py:
+    234-266``): the highest-``proba_col`` node in the scope gets the
+    label (even if the model preferred another one — the at-least-one
+    half), every other candidate is demoted to ``fallback`` (the
+    at-most-one half). Declarative window argmax, no inference engine."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in scope]).orderBy(
+        F.desc(proba_col), F.asc("node_id")
+    )
+    ranked = scored.withColumn("_r", F.row_number().over(w))
+    return ranked.withColumn(
+        pred_col,
+        F.when(F.col("_r") == 1, F.lit(label)).otherwise(
+            F.when(F.col(pred_col) == label, F.lit(fallback)).otherwise(F.col(pred_col))
+        ),
+    ).drop("_r")
+
+
 def fit_label_transitions(
     nodes: DataFrame,
     classes: tuple[str, ...] = ("boilerplate", "main"),

@@ -26,21 +26,40 @@ def config_hash(config: dict[str, Any]) -> str:
 
 def save_artifact(spark: SparkSession, store_dir: str, name: str,
                   payload: Any, cfg_hash: str = "") -> None:
+    """Append a new version: version = 1 + max existing version for
+    (name, cfg_hash). Plain parquet read order across appended files is
+    unspecified, so 'latest' must be an explicit column, not row order."""
+    path = os.path.join(store_dir, "artifacts")
+    try:
+        prev = spark.read.parquet(path)
+        row = (
+            prev.filter((prev.name == name) & (prev.cfg_hash == cfg_hash))
+            .agg({"version": "max"})
+            .collect()[0]
+        )
+        version = int(row[0] or 0) + 1
+    except Exception:
+        version = 1
     df = spark.createDataFrame(
-        [(name, cfg_hash, json.dumps(payload, sort_keys=True))],
-        "name string, cfg_hash string, payload string",
+        [(name, cfg_hash, version, json.dumps(payload, sort_keys=True))],
+        "name string, cfg_hash string, version long, payload string",
     )
-    df.coalesce(1).write.mode("append").parquet(os.path.join(store_dir, "artifacts"))
+    df.coalesce(1).write.mode("append").parquet(path)
 
 
 def load_artifact(spark: SparkSession, store_dir: str, name: str,
                   cfg_hash: str = "") -> Any | None:
-    """Latest artifact for (name, cfg_hash), or None if absent/stale."""
+    """Latest artifact for (name, cfg_hash) by explicit version column,
+    or None if absent/stale."""
     try:
         df = spark.read.parquet(os.path.join(store_dir, "artifacts"))
     except Exception:
         return None
-    rows = df.filter((df.name == name) & (df.cfg_hash == cfg_hash)).collect()
+    rows = (
+        df.filter((df.name == name) & (df.cfg_hash == cfg_hash))
+        .orderBy("version")
+        .collect()
+    )
     if not rows:
         return None
     return json.loads(rows[-1].payload)

@@ -212,6 +212,84 @@ def render_doc(doc_id: int, text: str, lang: str) -> tuple[str, _dt.datetime, by
     return plan["url"], plan["warc_ts"], html.encode("utf-8")
 
 
+# ---------------------------------------------------------------------------
+# Table fixture family (full C9 input): deterministic tables with row
+# skew + cell-top jitter, the analogue of the reference's ABP tables.
+# ---------------------------------------------------------------------------
+TABLE_X0 = 100
+TABLE_Y0 = 120
+TABLE_COL_W = 160
+TABLE_LINE_H = 18
+TABLE_LINE_GAP = 4
+TABLE_CELL_PAD = 6
+TABLE_ROW_GAP = 14
+
+
+def plan_table(table_id: int) -> dict:
+    """Deterministic table layout plan: n_rows x n_cols cells, 1-3 text
+    lines per cell, per-cell top jitter (+-4px) and a global row skew
+    (linear in x, |slope| <= 0.012 so rows stay separable by the 10px
+    cut miner — the identifiability margin the detector is entitled to).
+    Ground-truth row ids and BIESO tags come from the construction."""
+    rng = np.random.default_rng([SEED, 777, int(table_id)])
+    n_rows = int(rng.integers(4, 10))
+    n_cols = int(rng.integers(3, 7))
+    skew = float(rng.uniform(-0.012, 0.012))
+    lines: list[dict] = []
+    y = TABLE_Y0
+    for r in range(n_rows):
+        n_lines = [int(rng.integers(1, 4)) for _ in range(n_cols)]
+        row_h = max(n_lines) * (TABLE_LINE_H + TABLE_LINE_GAP) + 2 * TABLE_CELL_PAD
+        for c in range(n_cols):
+            x1 = TABLE_X0 + c * TABLE_COL_W
+            x2 = x1 + TABLE_COL_W - 12
+            jitter = int(rng.integers(-4, 5))
+            top = y + TABLE_CELL_PAD + jitter + skew * (x1 - TABLE_X0)
+            k = n_lines[c]
+            for li in range(k):
+                ly1 = top + li * (TABLE_LINE_H + TABLE_LINE_GAP)
+                tag = "RS" if k == 1 else "RB" if li == 0 else "RE" if li == k - 1 else "RI"
+                lines.append(
+                    {
+                        "node_id": f"t{table_id}_r{r}_c{c}_l{li}",
+                        "col_id": c, "gt_row": r, "tag": tag,
+                        "x1": float(x1), "y1": float(ly1),
+                        "x2": float(x2), "y2": float(ly1 + TABLE_LINE_H),
+                    }
+                )
+        y += row_h + TABLE_ROW_GAP
+    return {
+        "table_id": int(table_id), "url": f"table:{int(table_id):04d}",
+        "n_rows": n_rows, "n_cols": n_cols, "skew": skew, "lines": lines,
+    }
+
+
+TABLE_LINES_SCHEMA = (
+    "url string, table_id int, node_id string, col_id int, gt_row int, "
+    "tag string, x1 double, y1 double, x2 double, y2 double"
+)
+
+
+def table_lines_df(spark: SparkSession, n_tables: int = 40) -> DataFrame:
+    """Distributed fixture generation: one row per text line over
+    ``n_tables`` planned tables (mapInPandas over a range — the same
+    scale shape as pages_from_documents)."""
+    ids = spark.range(n_tables).withColumnRenamed("id", "table_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for tid in pdf["table_id"]:
+                plan = plan_table(int(tid))
+                for ln in plan["lines"]:
+                    rows.append(dict(ln, url=plan["url"], table_id=plan["table_id"]))
+            cols = ["url", "table_id", "node_id", "col_id", "gt_row", "tag",
+                    "x1", "y1", "x2", "y2"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return ids.mapInPandas(gen, schema=TABLE_LINES_SCHEMA)
+
+
 def pages_from_documents(spark: SparkSession, sf_dir: str, multiplier: int = 1) -> DataFrame:
     """documents.parquet -> pages DataFrame (distributed, deterministic).
 
