@@ -34,7 +34,7 @@ from transkribusdu_spark.pipeline.extract import extract_text_spans
 from transkribusdu_spark.pipeline.parse import parse_pages
 from transkribusdu_spark.relational import pricing_summary
 from transkribusdu_spark.session import build_session
-from transkribusdu_spark.synth import write_pages
+from transkribusdu_spark.synth import documents_amplified, write_pages
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -77,8 +77,35 @@ def main() -> None:
             fn()
             timings[name] = round(time.monotonic() - t0, 3)
 
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        # Dedup inputs are amplified like the pages snapshot (vocabulary
+        # renaming preserves within-replica pair structure exactly), and
+        # materialized untimed so both parallelism levels read identical
+        # bytes. Embeddings replicate with a deterministic per-replica
+        # shift (volume for the ANN path; exact results don't matter to
+        # the timing, determinism does).
+        docs_path = os.path.join(tmp, "docs_amp") if tmp else os.path.join(
+            tempfile.mkdtemp(prefix="bench_docs_"), "docs_amp")
+        documents_amplified(spark, SF_DIR, MULT).repartition(
+            SNAPSHOT_PARTITIONS).write.mode("overwrite").parquet(docs_path)
+        docs = spark.read.parquet(docs_path)
+        n_amp_docs = docs.count()
+
+        emb0 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        reps = spark.range(MULT).withColumnRenamed("id", "rep")
+        emb_path = os.path.join(os.path.dirname(docs_path), "emb_amp")
+        (
+            emb0.crossJoin(reps)
+            .select(
+                (F.col("vec_id") + F.col("rep") * F.lit(10_000_000)).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: x + F.col("rep").cast("float") * F.lit(0.001)
+                ).alias("embedding"),
+            )
+            .repartition(SNAPSHOT_PARTITIONS)
+            .write.mode("overwrite").parquet(emb_path)
+        )
+        emb = spark.read.parquet(emb_path)
+        n_amp_vecs = emb.count()
 
         # q1: flagship extraction (the north-rule surface).
         timed("q1_extract", lambda: extract_text_spans(parse_pages(pages))
@@ -86,18 +113,28 @@ def main() -> None:
         # q2: parse + spatial edge building (fused map-only path).
         timed("q2_edges", lambda: edges_from_pages(pages)
               .groupBy("etype").count().collect())
-        # q3: MinHash-LSH dedup.
+        # q3: MinHash-LSH dedup (amplified corpus).
         timed("q3_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs).count())
-        # q4: simhash near-dup pairs.
+        # q4: simhash near-dup pairs (amplified corpus).
         timed("q4_simhash_pairs", lambda: dedup.simhash_near_pairs(docs).count())
-        # q5: brute-force knn.
+        # q5: brute-force knn (amplified vectors).
         timed("q5_knn", lambda: similarity.knn_bruteforce(
             emb, similarity.self_queries(emb, 10), k=5).collect())
-        # q6: text analytics sweep.
+        # q6: text analytics sweep (amplified corpus).
         timed("q6_textstats", lambda: textstats.quality_score(docs)
               .agg(F.sum("quality")).collect())
         # q7: relational pricing summary.
         timed("q7_pricing", lambda: pricing_summary(spark, SF_DIR).collect())
+        # q8: LSH ANN top-k over the amplified vectors (bucketed
+        # candidate join + exact re-rank — the 100 TB similarity path).
+        timed("q8_ann_lsh", lambda: similarity.ann_lsh(
+            emb, similarity.self_queries(emb, 50), k=5).collect())
+        # q9: embedding near-dup pairs via deep LSH candidates at the
+        # realistic dedup threshold (0.85 -> 24x7 hashes, buckets N/128;
+        # the contract query's 0.45 threshold forces shallow hashes and
+        # near-quadratic candidates — see ops/similarity.py).
+        timed("q9_embed_neardup", lambda: dedup.embedding_near_dups(
+            emb, threshold=0.85).count())
 
         extract_docs_per_sec = round(n_docs / timings["q1_extract"], 2)
         total = round(sum(timings.values()), 3)
@@ -108,6 +145,8 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "docs": n_docs,
+            "dedup_docs": n_amp_docs,
+            "ann_vectors": n_amp_vecs,
             "extract_docs_per_sec": extract_docs_per_sec,
             "cpus": CPUS,
             "mult": MULT,
