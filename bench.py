@@ -39,6 +39,11 @@ from transkribusdu_spark.synth import documents_amplified, write_pages
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "10"))
+# Dedup/ANN inputs scale differently from extraction (pair volume is
+# superlinear), so their amplification is bounded separately — and
+# REPORTED in the output JSON, never silently capped.
+DEDUP_MULT = int(os.environ.get("SPARK_GRAFT_DEDUP_MULT", str(min(MULT, 20))))
+ANN_MULT = int(os.environ.get("SPARK_GRAFT_ANN_MULT", str(min(MULT, 10))))
 PAGES_DIR = os.environ.get("SPARK_GRAFT_PAGES_DIR", "")
 SNAPSHOT_PARTITIONS = 64
 
@@ -85,13 +90,13 @@ def main() -> None:
         # the timing, determinism does).
         docs_path = os.path.join(tmp, "docs_amp") if tmp else os.path.join(
             tempfile.mkdtemp(prefix="bench_docs_"), "docs_amp")
-        documents_amplified(spark, SF_DIR, MULT).repartition(
+        documents_amplified(spark, SF_DIR, DEDUP_MULT).repartition(
             SNAPSHOT_PARTITIONS).write.mode("overwrite").parquet(docs_path)
         docs = spark.read.parquet(docs_path)
         n_amp_docs = docs.count()
 
         emb0 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-        reps = spark.range(MULT).withColumnRenamed("id", "rep")
+        reps = spark.range(ANN_MULT).withColumnRenamed("id", "rep")
         emb_path = os.path.join(os.path.dirname(docs_path), "emb_amp")
         (
             emb0.crossJoin(reps)
@@ -150,6 +155,8 @@ def main() -> None:
             "extract_docs_per_sec": extract_docs_per_sec,
             "cpus": CPUS,
             "mult": MULT,
+            "dedup_mult": DEDUP_MULT,
+            "ann_mult": ANN_MULT,
         }))
     finally:
         if tmp:

@@ -71,6 +71,11 @@ def main() -> None:
     t_lo = med(lo, "extract_docs_per_sec")
     t_hi = med(hi, "extract_docs_per_sec")
     eff = t_hi / (ratio * t_lo)
+    # conservative bound: worst observed high-level run against best
+    # low-level run, so the claim survives run-to-run variance
+    eff_min = min(r["extract_docs_per_sec"] for r in results[hi]) / (
+        ratio * max(r["extract_docs_per_sec"] for r in results[lo])
+    )
     ncpu = os.cpu_count()
     mem_gib = round(os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30)
     docs = results[hi][0]["docs"]
@@ -96,6 +101,12 @@ def main() -> None:
         "",
         f"**Scaling efficiency (extraction): {t_hi:.2f} / ({ratio} x {t_lo:.2f}) = "
         f"{eff:.3f}**  (target >= 0.8)",
+        "",
+        f"Conservative bound (worst {hi}-core run vs best {lo}-core run): "
+        f"{eff_min:.3f}. Values above 1.0 are run-to-run variance at the "
+        f"high-parallelism level (short jobs), not true super-linearity; "
+        f"the claim defended here is efficiency >= 0.8 under ANY pairing "
+        f"of the recorded runs.",
         "",
         "Per-query medians (seconds):",
         "",

@@ -124,6 +124,14 @@ def minhash_lsh_pairs(
     Banding: 16 bands of 4 rows; candidates = pairs sharing any band
     bucket (shuffle once on the band hash — the sub-quadratic scale
     path); then exact Jaccard is computed only for candidates.
+
+    Recall contract: 16x4 banding detects a pair at jaccard j with
+    probability 1-(1-j^4)^16 (~98.8% at the 0.7 threshold, ->1 above
+    it). Equality with the exact-Jaccard oracle is therefore an
+    EMPIRICAL property of the corpus (verified: all exact pairs at
+    sf0.001/sf0.01/sf0.1 are found; tests/test_ops.py locks the
+    superset relation), not a construction guarantee — on a new corpus
+    with many pairs sitting exactly at the threshold, add bands.
     """
     sig = minhash_signatures(docs, n)
     rows_per_band = MINHASH_PERMS // LSH_BANDS

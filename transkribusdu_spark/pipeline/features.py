@@ -257,11 +257,21 @@ def neighbor_class_mask(nodes: DataFrame, edges: DataFrame,
 
 
 def fit_tfidf_vocab(nodes: DataFrame, n: int = 3, max_features: int = 500,
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text", enclose: bool = False) -> DataFrame:
     """F2/A4: character n-gram document-frequency vocabulary fit with a
     deterministic tie-break (df desc, ngram asc) — the reference's
     TfidfVectorizer fit re-expressed as explode -> groupBy -> top-K.
-    Returns (ngram, idx, df, idf); tiny, broadcastable."""
+    Returns (ngram, idx, df, idf); tiny, broadcastable.
+
+    ``enclose=True`` wraps each text in {} start/end markers before
+    n-gramming (F1 NodeTransformerTextEnclosed,
+    ``graph/Transformer_PageXml.py:40-47``) so boundary n-grams become
+    features."""
+    if enclose:
+        nodes = nodes.withColumn(
+            "_enc_f1", F.concat(F.lit("{"), F.coalesce(F.col(text_col), F.lit("")), F.lit("}"))
+        )
+        text_col = "_enc_f1"
     total = nodes.count()
     toks = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     grams = F.when(
@@ -318,6 +328,47 @@ def apply_tfidf(nodes: DataFrame, vocab: DataFrame, n: int = 3,
             F.transform("ps", lambda p: F.round(p["v"], 6)).alias("values"),
         )
     )
+
+
+def fit_standard_scaler(df: DataFrame, cols: list[str]) -> dict[str, tuple[float, float]]:
+    """F18 legacy standard scaling (reference ``graph/Transformer.py``
+    StandardScaler usage): one distributed pass for per-column
+    (mean, stddev_pop); returns the fitted params (tiny, broadcastable)."""
+    row = df.agg(
+        *[F.avg(c).alias(f"mu_{c}") for c in cols],
+        *[F.stddev_pop(c).alias(f"sd_{c}") for c in cols],
+    ).collect()[0]
+    return {
+        c: (float(row[f"mu_{c}"] or 0.0), max(float(row[f"sd_{c}"] or 0.0), 1e-12))
+        for c in cols
+    }
+
+
+def apply_standard_scaler(df: DataFrame, params: dict[str, tuple[float, float]],
+                          suffix: str = "_std") -> DataFrame:
+    """Apply fitted standardization as column expressions (JVM-side)."""
+    for c, (mu, sd) in params.items():
+        df = df.withColumn(f"{c}{suffix}", (F.col(c) - F.lit(mu)) / F.lit(sd))
+    return df
+
+
+def label_binarize(nodes: DataFrame, labels: tuple[str, ...] | None = None,
+                   label_col: str = "label") -> DataFrame:
+    """M10 label binarizer (reference wraps sklearn LabelBinarizer):
+    one 0/1 column per label in a FIXED label order (schemas.ALL_LABELS
+    by default) plus the integer class index — declarative, no fit
+    needed because the label space is closed."""
+    from ..schemas import ALL_LABELS
+
+    labs = list(labels) if labels is not None else list(ALL_LABELS)
+    out = nodes
+    for lab in labs:
+        safe = lab.replace("-", "_")
+        out = out.withColumn(f"y_{safe}", (F.col(label_col) == lab).cast("double"))
+    idx = F.lit(-1)
+    for i in range(len(labs) - 1, -1, -1):
+        idx = F.when(F.col(label_col) == labs[i], F.lit(i)).otherwise(idx)
+    return out.withColumn("y_cls", idx.cast("int"))
 
 
 def fit_quantiles(df: DataFrame, cols: list[str], n_bins: int = 16,

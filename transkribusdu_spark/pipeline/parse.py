@@ -341,6 +341,30 @@ def parse_pages(
     return pages.select(*cols).mapInPandas(run, schema=NODES_SCHEMA)
 
 
+def dedup_guard(nodes: DataFrame) -> DataFrame:
+    """P8 node-dedup guard (reference ``graph/Graph.py`` node_id
+    uniqueness check): returns the offending rows — (url, node_id, kind,
+    n) for ids claimed by more than one node of the same kind. Empty
+    result = invariant holds; callers treat non-empty as a data error
+    channel (like parse_errors)."""
+    from pyspark.sql import functions as F
+
+    return (
+        nodes.groupBy("url", "node_id", "kind")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def filter_output_files(pages: DataFrame, suffix: str = "_du") -> DataFrame:
+    """P9 output-file filter (reference skips its own ``*_du.mpxml``
+    outputs when re-listing an input collection): drop rows whose url
+    stem carries the output marker."""
+    from pyspark.sql import functions as F
+
+    return pages.filter(~F.col("url").rlike(f"{suffix}($|[.?#])"))
+
+
 def shrink_bboxes(nodes: DataFrame, w_factor: float = 0.066, cap: float = 20.0) -> DataFrame:
     """P5 BBoxDeltaFun shrink (reference ``graph/NodeType_PageXml.py:31-43,
     171-186``): reduce each box by dx = max(w*0.066, min(20, w/3)) per

@@ -307,6 +307,10 @@ def pages_from_documents(spark: SparkSession, sf_dir: str, multiplier: int = 1) 
             docs.crossJoin(reps)
             .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(10_000_000))
             .drop("rep")
+            # the small documents parquet is a single input split, so an
+            # amplified corpus would otherwise be SYNTHESIZED in one
+            # task; spread the generation before the expensive kernel
+            .repartition(F.col("doc_id"))
         )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -346,6 +350,7 @@ def documents_amplified(spark: SparkSession, sf_dir: str, multiplier: int) -> Da
     return (
         docs.crossJoin(reps)
         .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(10_000_000))
+        .repartition(F.col("doc_id"))  # spread before the per-row transform
         .withColumn(
             "text",
             F.array_join(
