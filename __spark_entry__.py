@@ -425,6 +425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_counts": lambda s, d: windowed_event_counts(
             s.read.parquet(f"{d}/events.parquet")
         ),
+        "user_sessions": lambda s, d: __import__(
+            "transkribusdu_spark.streaming.incremental", fromlist=["user_sessions"]
+        ).user_sessions(s.read.parquet(f"{d}/events.parquet")),
     }
 
 
@@ -742,5 +745,24 @@ def oracle_sql() -> dict[str, str]:
             select time_bucket(interval '1 hour', ts) window_start, event_type,
                    count(*) n, round(sum(value), 6) sum_value
             from events group by 1, 2
+        """,
+        "user_sessions": """
+            with flagged as (
+                select user_id, event_id, ts,
+                       case when lag(ts) over w is null
+                              or epoch(ts) - epoch(lag(ts) over w) > 1800
+                            then 1 else 0 end new_s
+                from events window w as (partition by user_id order by ts, event_id)
+            ),
+            sess as (
+                select user_id, ts,
+                       cast(sum(new_s) over (partition by user_id
+                            order by ts, event_id rows unbounded preceding) as integer)
+                       session_id
+                from flagged
+            )
+            select user_id, session_id, count(*) n_events,
+                   min(ts) ts_start, max(ts) ts_end
+            from sess group by user_id, session_id
         """,
     }

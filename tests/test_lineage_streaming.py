@@ -75,3 +75,56 @@ def test_windowed_event_counts_batch(spark, sf_dir):
     out = windowed_event_counts(ev)
     total = out.agg(F.sum("n")).collect()[0][0]
     assert total == ev.count()
+
+
+def test_stateful_stream_counter_carries_state_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: per-user running totals must accumulate
+    across micro-batches (maxFilesPerTrigger=1 forces several), and the
+    final totals must equal the batch groupBy counts."""
+    import glob
+
+    from transkribusdu_spark.streaming.incremental import stream_user_event_totals
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(2000).cache()
+    ev_dir = str(tmp_path / "ev_stream")
+    # three files -> three micro-batches
+    events.repartition(3).write.mode("overwrite").parquet(ev_dir)
+    out_dir = str(tmp_path / "totals_out")
+    ckpt = str(tmp_path / "totals_ckpt")
+    q = stream_user_event_totals(spark, ev_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    n_batches = got.select("batch_id").distinct().count()
+    assert n_batches >= 2, "expected multiple micro-batches (state carry-over)"
+    from pyspark.sql import Window
+    import pyspark.sql.functions as SF
+
+    w = Window.partitionBy("user_id").orderBy(SF.desc("batch_id"))
+    final = (
+        got.withColumn("rn", SF.row_number().over(w))
+        .filter(SF.col("rn") == 1)
+        .select("user_id", "total_events")
+    )
+    expected = events.groupBy("user_id").agg(SF.count("*").alias("n"))
+    diff = final.join(expected, "user_id").filter(SF.col("total_events") != SF.col("n"))
+    assert final.count() == expected.count()
+    assert diff.count() == 0, diff.limit(5).collect()
+
+
+def test_user_sessions_gap_semantics(spark):
+    import datetime as dt
+
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 0, 0), "a", 1.0),
+        (1, 2, dt.datetime(2024, 1, 1, 0, 10), "a", 1.0),
+        (1, 3, dt.datetime(2024, 1, 1, 1, 0), "a", 1.0),   # 50min gap -> new session
+        (2, 4, dt.datetime(2024, 1, 1, 0, 0), "a", 1.0),
+    ]
+    from transkribusdu_spark.streaming.incremental import user_sessions
+
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string, value double"
+    )
+    got = {(r.user_id, r.session_id): r.n_events for r in user_sessions(ev).collect()}
+    assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}

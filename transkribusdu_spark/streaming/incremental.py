@@ -72,3 +72,92 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: batch (oracled) + custom stateful streaming operator.
+# ---------------------------------------------------------------------------
+def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization (batch): a new session starts when the
+    user's inter-event gap exceeds ``gap_minutes``. Pure window algebra
+    (lag -> flag -> running sum), one shuffle on user_id; SQL-equivalent
+    and hash-verified against the DuckDB oracle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    new_flag = (
+        prev.isNull()
+        | ((F.col("ts") - prev) > F.expr(f"INTERVAL {int(gap_minutes)} MINUTES"))
+    ).cast("int")
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sid = F.sum(new_flag).over(cum)
+    return (
+        events.withColumn("session_id", sid.cast("int"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("ts_start"),
+            F.max("ts").alias("ts_end"),
+        )
+    )
+
+
+def stream_user_event_totals(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Custom STATEFUL streaming operator (applyInPandasWithState): a
+    per-user running event counter whose state genuinely persists across
+    micro-batches (maxFilesPerTrigger=1 forces multiple batches under
+    AvailableNow, so the parity test exercises real state carry-over —
+    the building block the reference's batch world has no analogue for).
+    Emits one row per user per batch with the updated running total."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    src = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp, "
+                                "event_type string, value double")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+        .select("user_id", "event_id")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("total_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+        (prev,) = state.get if state.exists else (0,)
+        total = prev + n_new
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "total_events": [total]})
+
+    counted = src.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+
+    return (
+        counted.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
