@@ -162,3 +162,55 @@ def test_continuous_page_mirror_edges(spark):
     no_mirror = build_continuous_edges(nodes, mirror=False).collect()
     pairs_nm = {(r.src, r.dst) for r in no_mirror}
     assert ("p1_low", "p2_up2") in pairs_nm and ("p1_low", "p2_up") not in pairs_nm
+
+
+def test_boxpartition_cut_queries():
+    """C8 ShapePartition queries (util/Shape.py:300-430) over boxes:
+    cut validity, ribbon validity, and half-plane membership — including
+    a skewed cut."""
+    from transkribusdu_spark.functions.shapecut import BoxPartition
+
+    bp = BoxPartition([[0, 0, 10, 10], [0, 20, 10, 30], [20, 0, 30, 10]])
+    # horizontal cut through the gap between box0 and box1
+    assert bp.is_valid_cut(0, 15, 30, 15)
+    # ribbon of height 4 fits (gap is 10), height 12 does not
+    assert bp.is_valid_ribbon_cut(0, 12, 30, 12, 4)
+    assert not bp.is_valid_ribbon_cut(0, 12, 30, 12, 12)
+    # cut through box0
+    assert not bp.is_valid_cut(0, 5, 30, 5)
+    # skewed cut y = 12 + 0.1x stays inside the gap over x in [0, 30]
+    assert bp.is_valid_cut(0, 12, 30, 15)
+    assert bp.above_line(0, 15, 30, 15) == (0, 2)
+    assert bp.below_line(0, 15, 30, 15) == (1,)
+    # vertical separation: box2 is right of x=15
+    assert bp.left_of_line(15, 0, 15, 30) == (0, 1)
+    assert bp.right_of_line(15, 0, 15, 30) == (2,)
+
+
+def test_boxpartition_on_table_fixture_rows():
+    """The mid-gap horizontal cuts of a planned table must be valid
+    ribbon cuts (the fixture's identifiability property, stated in C8
+    terms)."""
+    import numpy as np
+
+    from transkribusdu_spark.functions.shapecut import BoxPartition
+    from transkribusdu_spark.synth import plan_table
+
+    plan = plan_table(3)
+    lines = plan["lines"]
+    boxes = [[l["x1"], l["y1"], l["x2"], l["y2"]] for l in lines]
+    bp = BoxPartition(boxes)
+    # cut between consecutive row's max y2 and next row's min y1
+    by_row = {}
+    for l in lines:
+        by_row.setdefault(l["gt_row"], []).append(l)
+    rows = sorted(by_row)
+    n_valid = 0
+    for r0, r1 in zip(rows, rows[1:]):
+        y_top = max(l["y2"] for l in by_row[r0])
+        y_bot = min(l["y1"] for l in by_row[r1])
+        if y_bot > y_top:
+            mid = (y_top + y_bot) / 2.0
+            assert bp.is_valid_cut(0, mid, 1300, mid), (r0, mid)
+            n_valid += 1
+    assert n_valid >= 1

@@ -1,0 +1,72 @@
+"""Cut-validity / half-plane partition queries (SURVEY.md §2.8 C8;
+reference ``util/Shape.py:300-430`` ShapePartition, which wraps shapely
++ an R-tree).
+
+No shapely in this container — and none needed for the document case:
+every queried object is an axis-aligned box and every cut is a straight
+segment, so the queries reduce to closed-form interval arithmetic,
+fully vectorized over numpy arrays. Y axis points down (screen
+coordinates), matching the reference's above = smaller y.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class BoxPartition:
+    """Partition queries over N axis-aligned boxes [[x1,y1,x2,y2], ...]."""
+
+    def __init__(self, boxes) -> None:
+        b = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+        self.x1, self.y1, self.x2, self.y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+
+    def _line_extremes(self, xa, ya, xb, yb):
+        """Per box: (min, max) of the cut line's y over the box's
+        x-overlap with the segment's x-span; NaN where no x-overlap."""
+        if xa > xb:
+            xa, ya, xb, yb = xb, yb, xa, ya
+        lo = np.maximum(self.x1, xa)
+        hi = np.minimum(self.x2, xb)
+        ok = hi >= lo
+        if xb == xa:
+            f_lo = f_hi = np.full_like(lo, ya)
+        else:
+            slope = (yb - ya) / (xb - xa)
+            f_lo = ya + slope * (lo - xa)
+            f_hi = ya + slope * (hi - xa)
+        return ok, np.minimum(f_lo, f_hi), np.maximum(f_lo, f_hi)
+
+    def intersecting_ribbon(self, xa, ya, xb, yb, h: float = 0.0) -> np.ndarray:
+        """Indices of boxes intersecting the ribbon between the cut line
+        and the same line shifted down by ``h`` (h=0: the segment)."""
+        ok, fmin, fmax = self._line_extremes(xa, ya, xb, yb)
+        hit = ok & (fmax >= self.y1 - h) & (fmin <= self.y2)
+        return np.nonzero(hit)[0]
+
+    def is_valid_cut(self, xa, ya, xb, yb) -> bool:
+        """C8 isValidCut: the segment passes between the boxes."""
+        return len(self.intersecting_ribbon(xa, ya, xb, yb, 0.0)) == 0
+
+    def is_valid_ribbon_cut(self, xa, ya, xb, yb, h: float) -> bool:
+        """C8 isValidRibbonCut: a ribbon of height h fits between boxes."""
+        return len(self.intersecting_ribbon(xa, ya, xb, yb, h)) == 0
+
+    def above_line(self, xa, ya, xb, yb) -> tuple[int, ...]:
+        """Boxes intersecting the half-plane ABOVE the cut (y <= line),
+        limited to the segment's x-span (reference getObjectAboveLineByIds)."""
+        ok, _, fmax = self._line_extremes(xa, ya, xb, yb)
+        return tuple(np.nonzero(ok & (fmax >= self.y1))[0])
+
+    def below_line(self, xa, ya, xb, yb) -> tuple[int, ...]:
+        ok, fmin, _ = self._line_extremes(xa, ya, xb, yb)
+        return tuple(np.nonzero(ok & (fmin <= self.y2))[0])
+
+    def left_of_line(self, xa, ya, xb, yb) -> tuple[int, ...]:
+        """Transpose symmetry: swap axes and reuse the above-line query."""
+        t = BoxPartition(np.stack([self.y1, self.x1, self.y2, self.x2], axis=1))
+        return t.above_line(ya, xa, yb, xb)
+
+    def right_of_line(self, xa, ya, xb, yb) -> tuple[int, ...]:
+        t = BoxPartition(np.stack([self.y1, self.x1, self.y2, self.x2], axis=1))
+        return t.below_line(ya, xa, yb, xb)
