@@ -67,6 +67,21 @@ def _q_extract_full_text(spark, sf_dir):
     return ext.select("doc_id", "extracted_text")
 
 
+def _q_extract_spans(spark, sf_dir):
+    """North-rule span surface: per-document span OFFSETS of the
+    main-content extraction, hash-verified against the closed-form
+    running-sum oracle over the ground-truth node table."""
+    ext = extract_text_spans(parse_pages(pages_from_documents(spark, sf_dir)))
+    sp = ext.select("doc_id", F.explode("spans").alias("s"))
+    return sp.select(
+        "doc_id",
+        F.col("s.node_id").alias("node_id"),
+        F.col("s.start").alias("start"),
+        F.col("s.end").alias("end"),
+        F.col("s.label").alias("label"),
+    )
+
+
 def _q_parse_nodes(spark, sf_dir):
     nodes = parse_pages(pages_from_documents(spark, sf_dir))
     return nodes.groupBy("doc_id").agg(
@@ -367,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_via_json_source": _q_extract_via_json,
         "extract_via_writeback_roundtrip": _q_extract_via_writeback,
         "extract_via_dsxml_source": _q_extract_via_dsxml,
+        "extract_spans": _q_extract_spans,
         "fold_counts": _q_fold_counts,
         "ecn_scores": _q_ecn_scores,
         "parse_nodes": _q_parse_nodes,
@@ -518,6 +534,22 @@ def oracle_sql() -> dict[str, str]:
         "parse_nodes": f"""
             select doc_id, count(*) n_nodes, max(page_cnt)::bigint n_pages
             from {_t('nodes')} where kind = 'TextRegion' group by doc_id
+        """,
+        "extract_spans": f"""
+            with ordered as (
+                select doc_id, node_id, label, length(text) tl,
+                       sum(length(text) + 1) over (
+                           partition by url
+                           order by page_num, y1, x1, node_id
+                           rows unbounded preceding) cum
+                from {_t('nodes')}
+                where kind = 'TextRegion' and label in ('paragraph', 'heading')
+            )
+            select doc_id, node_id,
+                   cast(cum - tl - 1 as integer) "start",
+                   cast(cum - 1 as integer) "end",
+                   label
+            from ordered
         """,
         "edges_hist": f"select etype, count(*) n from {_t('edges')} where mode = 'g1' group by etype",
         "edges_hist_g2": f"select etype, count(*) n from {_t('edges')} where mode = 'g2' group by etype",

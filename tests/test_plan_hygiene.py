@@ -102,3 +102,14 @@ def test_ivf_probe_has_no_driver_query_collect(spark, sf_dir):
     q = similarity.self_queries(emb, 5)
     plan = _physical(similarity.ivf_knn(emb, q))
     assert "LocalTableScan" not in plan, "query probe list was collected to the driver"
+
+
+def test_user_sessions_single_shuffle(spark, sf_dir):
+    """Sessionization must reuse one user_id partitioning for both
+    window passes and the final aggregate — exactly one exchange."""
+    from transkribusdu_spark.streaming.incremental import user_sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _physical(user_sessions(ev))
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert plan.count("Sort") == 1, "windows should share one sort order"
