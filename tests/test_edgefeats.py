@@ -172,3 +172,40 @@ def test_edge_classifier_with_text_and_shifted_features(spark, sf_dir):
         ).alias("acc")
     ).collect()[0].acc
     assert acc >= 0.8, f"edge classifier accuracy {acc}"
+
+
+def test_conjugate_pipeline_end_to_end_clustering(spark, sf_dir):
+    """The reference's operating mode: TRAIN the conjugate edge
+    classifier (geometry + LCS, class-shifted), predict continue/break,
+    cluster by connected components, and score the partition against the
+    label ground truth — the full conjugate loop, not the edge oracle."""
+    from transkribusdu_spark.pipeline.edgefeats import edge_class_shift
+    from transkribusdu_spark.pipeline.features import EDGE_FEATURE_COLS
+    from transkribusdu_spark.pipeline.model import predict_edges, train_edge_classifier
+    from transkribusdu_spark.pipeline.segment import connected_components
+    from transkribusdu_spark.pipeline.tablerows import compute_prf, eval_partitions
+
+    nodes = parse_pages(pages_from_documents(spark, sf_dir)).filter(
+        F.col("doc_id") < 80
+    ).cache()
+    ef = edge_text_features(edge_features(build_edges(nodes), nodes), nodes)
+    base_cols = EDGE_FEATURE_COLS + ["ef_lcs_ratio"]
+    shifted, scols = edge_class_shift(ef, base_cols)
+    cols = ["ef_is_h", "ef_is_v", "ef_is_cp"] + scols
+    model = train_edge_classifier(shifted.cache(), feature_cols=cols)
+    scores = predict_edges(model, shifted, feature_cols=cols)
+    clusters = connected_components(nodes, scores)
+
+    # score predicted partitions against label-partition ground truth
+    memb = clusters.select("url", "cluster_id", F.explode("node_ids").alias("node_id"))
+    j = memb.join(nodes.select("url", "node_id", "label"), ["url", "node_id"]).toPandas()
+    total_ok = total_err = total_miss = 0
+    for url, g in j.groupby("url"):
+        runp = [gg["node_id"].tolist() for _, gg in g.groupby("cluster_id")]
+        gtp = [gg["node_id"].tolist() for _, gg in g.groupby("label")]
+        ok, err, miss = eval_partitions(runp, gtp, th=0.8)
+        total_ok += ok
+        total_err += err
+        total_miss += miss
+    p, r, f1 = compute_prf(total_ok, total_err, total_miss)
+    assert f1 >= 0.55, f"conjugate clustering f1 {f1} (ok={total_ok} err={total_err} miss={total_miss})"

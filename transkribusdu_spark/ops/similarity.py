@@ -232,8 +232,15 @@ def ivf_knn(
             F.transform(F.slice(F.array_sort(dist_structs), 1, n_probe), lambda s: s["ci"])
         ),
     )
-    cand = probe.join(assigned, "cell").filter(F.col("query_id") != F.col("vec_id"))
-    scored = cand.withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("v")), 6))
+    from .dedup import _dot, _norm
+
+    cand = probe.withColumn("qn", _norm(F.col("qv"))).join(
+        assigned.withColumn("vn", _norm(F.col("v"))), "cell"
+    ).filter(F.col("query_id") != F.col("vec_id"))
+    scored = cand.withColumn(
+        "cosine",
+        F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn")), 6),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
