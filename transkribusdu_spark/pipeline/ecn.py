@@ -37,19 +37,34 @@ SCORES_SCHEMA = T.StructType(
 )
 
 
+ETYPE_IDX = {"H": 0, "V": 1, "CP": 2, "CPM": 2}
+
+
 def init_weights(n_features: int, n_hidden: int, n_classes: int,
-                 n_layers: int = 2, seed: int = 42) -> dict:
+                 n_layers: int = 2, seed: int = 42, n_etypes: int = 0) -> dict:
     """Deterministic Glorot-ish init (a stand-in for trained weights;
-    same shapes the reference's ECN would produce)."""
-    rng = np.random.default_rng([seed, n_features, n_hidden, n_classes])
+    same shapes the reference's ECN would produce). ``n_etypes > 0``
+    adds one message matrix per edge class per layer — the actual
+    edge-CONDITIONED convolution (reference per-edge-channel
+    S.diag(cw).T'.H, ``gcn/gcn_models.py:440-530``); 0 keeps the
+    type-agnostic mean-message form."""
+    rng = np.random.default_rng([seed, n_features, n_hidden, n_classes, n_etypes])
     dims = [n_features] + [n_hidden] * n_layers
-    ws = []
+    ws, wes = [], []
     for i in range(n_layers):
         lim = float(np.sqrt(6.0 / (dims[i] + dims[i + 1])))
         ws.append(rng.uniform(-lim, lim, size=(dims[i], dims[i + 1])).tolist())
+        if n_etypes:
+            wes.append(
+                [rng.uniform(-lim, lim, size=(dims[i], dims[i + 1])).tolist()
+                 for _ in range(n_etypes)]
+            )
     lim = float(np.sqrt(6.0 / (dims[-1] + n_classes)))
     w_out = rng.uniform(-lim, lim, size=(dims[-1], n_classes)).tolist()
-    return {"ws": ws, "w_out": w_out}
+    out = {"ws": ws, "w_out": w_out}
+    if n_etypes:
+        out["wes"] = wes
+    return out
 
 
 def _scale(nf: np.ndarray, weights: dict) -> np.ndarray:
@@ -61,21 +76,34 @@ def _scale(nf: np.ndarray, weights: dict) -> np.ndarray:
     return nf
 
 
-def _forward(nf: np.ndarray, src: np.ndarray, dst: np.ndarray, weights: dict) -> np.ndarray:
+def _forward(nf: np.ndarray, src: np.ndarray, dst: np.ndarray, weights: dict,
+             e_cls: np.ndarray | None = None) -> np.ndarray:
     """One document: node features [N,F], edge index arrays -> class
     probabilities [N,K]. Message passing = mean over in/out neighbors
-    (segment-sum via np.add.at), relu between layers."""
+    (segment-sum via np.add.at), relu between layers. With "wes" in the
+    weights and ``e_cls`` (per-edge class index), messages go through a
+    PER-EDGE-CLASS matrix — the edge-conditioned convolution."""
     h = _scale(nf, weights)
     deg = np.zeros(len(nf))
     np.add.at(deg, src, 1.0)
     np.add.at(deg, dst, 1.0)
     deg = np.maximum(deg, 1.0)
-    for w in weights["ws"]:
+    wes = weights.get("wes")
+    for li, w in enumerate(weights["ws"]):
         w = np.asarray(w)
         hw = h @ w
         msg = np.zeros_like(hw)
-        np.add.at(msg, dst, hw[src])
-        np.add.at(msg, src, hw[dst])
+        if wes is not None and e_cls is not None:
+            for c, wc in enumerate(wes[li]):
+                m = e_cls == c
+                if not m.any():
+                    continue
+                zc = h @ np.asarray(wc)
+                np.add.at(msg, dst[m], zc[src[m]])
+                np.add.at(msg, src[m], zc[dst[m]])
+        else:
+            np.add.at(msg, dst, hw[src])
+            np.add.at(msg, src, hw[dst])
         h = np.maximum(hw + msg / deg[:, None], 0.0)
     logits = h @ np.asarray(weights["w_out"])
     logits -= logits.max(axis=1, keepdims=True)
@@ -89,21 +117,23 @@ def ecn_score(nodes_feats: DataFrame, edges: DataFrame, weights: dict,
     url, run the numpy forward pass, emit per-node class probabilities.
     ``weights`` is broadcast by closure capture (tiny)."""
     nf_rows = nodes_feats.select("url", "node_id", *feature_cols)
-    e_rows = edges.select("url", "src", "dst")
+    e_rows = edges.select("url", "src", "dst", "etype")
+    conditioned = "wes" in weights
 
     def run(key, nfs: pd.DataFrame, es: pd.DataFrame) -> pd.DataFrame:
         url = key[0]
         ids = nfs["node_id"].to_numpy()
         idx = {n: i for i, n in enumerate(ids)}
         nf = nfs[feature_cols].to_numpy(dtype=np.float64)
-        pairs = [
-            (idx[s], idx[d])
-            for s, d in zip(es["src"], es["dst"])
+        triples = [
+            (idx[s], idx[d], ETYPE_IDX.get(t, 2))
+            for s, d, t in zip(es["src"], es["dst"], es["etype"])
             if s in idx and d in idx
         ]
-        src = np.array([p[0] for p in pairs], dtype=np.int64)
-        dst = np.array([p[1] for p in pairs], dtype=np.int64)
-        proba = _forward(nf, src, dst, weights)
+        src = np.array([p[0] for p in triples], dtype=np.int64)
+        dst = np.array([p[1] for p in triples], dtype=np.int64)
+        e_cls = np.array([p[2] for p in triples], dtype=np.int64) if conditioned else None
+        proba = _forward(nf, src, dst, weights, e_cls)
         return pd.DataFrame({
             "url": url, "node_id": ids,
             "y_proba": [np.round(p, 6).tolist() for p in proba],
@@ -117,46 +147,84 @@ def ecn_score(nodes_feats: DataFrame, edges: DataFrame, weights: dict,
 # ---------------------------------------------------------------------------
 # Distributed training.
 # ---------------------------------------------------------------------------
-def _shapes(n_features: int, n_hidden: int, n_classes: int, n_layers: int):
+def _shapes(n_features: int, n_hidden: int, n_classes: int, n_layers: int,
+            n_etypes: int = 0):
+    """Flat parameter layout: per layer W_self then the per-edge-class
+    message matrices (if any); w_out last."""
     dims = [n_features] + [n_hidden] * n_layers
-    return [(dims[i], dims[i + 1]) for i in range(n_layers)] + [(dims[-1], n_classes)]
+    out = []
+    for i in range(n_layers):
+        out.append((dims[i], dims[i + 1]))
+        out.extend([(dims[i], dims[i + 1])] * n_etypes)
+    out.append((dims[-1], n_classes))
+    return out
 
 
 def _flatten(weights: dict) -> np.ndarray:
-    parts = [np.asarray(w).ravel() for w in weights["ws"]] + [np.asarray(weights["w_out"]).ravel()]
+    wes = weights.get("wes")
+    parts = []
+    for li, w in enumerate(weights["ws"]):
+        parts.append(np.asarray(w).ravel())
+        if wes is not None:
+            parts.extend(np.asarray(wc).ravel() for wc in wes[li])
+    parts.append(np.asarray(weights["w_out"]).ravel())
     return np.concatenate(parts)
 
 
-def _unflatten(vec: np.ndarray, shapes: list[tuple[int, int]]) -> dict:
-    ws, off = [], 0
+def _unflatten(vec: np.ndarray, shapes: list[tuple[int, int]], n_layers: int | None = None,
+               n_etypes: int = 0) -> dict:
+    if n_layers is None:
+        n_layers = (len(shapes) - 1) // (1 + n_etypes)
+    mats, off = [], 0
     for r, c in shapes:
-        ws.append(vec[off : off + r * c].reshape(r, c).tolist())
+        mats.append(vec[off : off + r * c].reshape(r, c).tolist())
         off += r * c
-    return {"ws": ws[:-1], "w_out": ws[-1]}
+    per_layer = 1 + n_etypes
+    ws, wes = [], []
+    for li in range(n_layers):
+        blk = mats[li * per_layer : (li + 1) * per_layer]
+        ws.append(blk[0])
+        if n_etypes:
+            wes.append(blk[1:])
+    out = {"ws": ws, "w_out": mats[-1]}
+    if n_etypes:
+        out["wes"] = wes
+    return out
 
 
 def _doc_grad(nf: np.ndarray, src: np.ndarray, dst: np.ndarray, y: np.ndarray,
-              weights: dict) -> tuple[np.ndarray, float, int]:
+              weights: dict, e_cls: np.ndarray | None = None) -> tuple[np.ndarray, float, int]:
     """Forward + backprop for one document. Returns (flat grad summed
-    over nodes, summed CE loss, n_nodes). Mirrors :func:`_forward`."""
+    over nodes, summed CE loss, n_nodes). Mirrors :func:`_forward`,
+    including the edge-conditioned message matrices when present."""
     nf = _scale(nf, weights)
     n = len(nf)
     deg = np.zeros(n)
     np.add.at(deg, src, 1.0)
     np.add.at(deg, dst, 1.0)
     deg = np.maximum(deg, 1.0)
+    wes = weights.get("wes")
+    n_etypes = len(wes[0]) if wes else 0
+    cls_masks = [e_cls == c for c in range(n_etypes)] if n_etypes else []
 
-    hs, zs, acts = [nf], [], []
+    hs, acts = [nf], []
     h = nf
-    for w in weights["ws"]:
+    for li, w in enumerate(weights["ws"]):
         w = np.asarray(w)
         z = h @ w
         msg = np.zeros_like(z)
-        np.add.at(msg, dst, z[src])
-        np.add.at(msg, src, z[dst])
+        if n_etypes:
+            for c, m in enumerate(cls_masks):
+                if not m.any():
+                    continue
+                zc = h @ np.asarray(wes[li][c])
+                np.add.at(msg, dst[m], zc[src[m]])
+                np.add.at(msg, src[m], zc[dst[m]])
+        else:
+            np.add.at(msg, dst, z[src])
+            np.add.at(msg, src, z[dst])
         a = z + msg / deg[:, None]
         h = np.maximum(a, 0.0)
-        zs.append(z)
         acts.append(a)
         hs.append(h)
     w_out = np.asarray(weights["w_out"])
@@ -171,18 +239,37 @@ def _doc_grad(nf: np.ndarray, src: np.ndarray, dst: np.ndarray, y: np.ndarray,
     dlogits = p - onehot  # summed (not averaged) — driver divides by N
     g_wout = hs[-1].T @ dlogits
     dh = dlogits @ w_out.T
-    g_ws = [None] * len(weights["ws"])
-    for li in range(len(weights["ws"]) - 1, -1, -1):
+    n_layers = len(weights["ws"])
+    g_ws: list = [None] * n_layers
+    g_wes: list = [[None] * n_etypes for _ in range(n_layers)]
+    for li in range(n_layers - 1, -1, -1):
         da = dh * (acts[li] > 0)
-        # A = Z + scatter(Z)/deg  =>  dZ = dA + scatter-back(dA/deg)
-        dz = da.copy()
         da_over_deg = da / deg[:, None]
-        np.add.at(dz, src, da_over_deg[dst])
-        np.add.at(dz, dst, da_over_deg[src])
-        g_ws[li] = hs[li].T @ dz
-        dh = dz @ np.asarray(weights["ws"][li]).T
-    flat = np.concatenate([g.ravel() for g in g_ws] + [g_wout.ravel()])
-    return flat, loss, n
+        # A = Z_self + sum_c scatter(Z_c)/deg
+        dz_self = da
+        g_ws[li] = hs[li].T @ dz_self
+        dh = dz_self @ np.asarray(weights["ws"][li]).T
+        if n_etypes:
+            for c, m in enumerate(cls_masks):
+                dzc = np.zeros_like(da)
+                if m.any():
+                    np.add.at(dzc, src[m], da_over_deg[dst[m]])
+                    np.add.at(dzc, dst[m], da_over_deg[src[m]])
+                g_wes[li][c] = hs[li].T @ dzc
+                dh = dh + dzc @ np.asarray(wes[li][c]).T
+        else:
+            dz = np.zeros_like(da)
+            np.add.at(dz, src, da_over_deg[dst])
+            np.add.at(dz, dst, da_over_deg[src])
+            g_ws[li] = g_ws[li] + hs[li].T @ dz
+            dh = dh + dz @ np.asarray(weights["ws"][li]).T
+    parts = []
+    for li in range(n_layers):
+        parts.append(g_ws[li].ravel())
+        if n_etypes:
+            parts.extend(g.ravel() for g in g_wes[li])
+    parts.append(g_wout.ravel())
+    return np.concatenate(parts), loss, n
 
 
 def train_ecn(
@@ -199,6 +286,7 @@ def train_ecn(
     seed: int = 42,
     verbose: bool = False,
     tune_epoch_latency: bool = True,
+    n_etypes: int = 0,
 ) -> dict:
     """Fit ECN weights by distributed full-batch Adam.
 
@@ -222,16 +310,16 @@ def train_ecn(
 
     main = tuple(main_labels) if main_labels is not None else MAIN_CONTENT_LABELS
     n_features, n_classes = len(feature_cols), len(classes)
-    shapes = _shapes(n_features, n_hidden, n_classes, n_layers)
+    shapes = _shapes(n_features, n_hidden, n_classes, n_layers, n_etypes)
     n_params = sum(r * c for r, c in shapes)
-    theta = _flatten(init_weights(n_features, n_hidden, n_classes, n_layers, seed))
+    theta = _flatten(init_weights(n_features, n_hidden, n_classes, n_layers, seed, n_etypes))
 
     nf_rows = nodes_feats.select(
         "url", "node_id",
         F.col(label_col).isin(list(main)).cast("int").alias("_y"),
         *feature_cols,
     ).cache()
-    e_rows = edges.select("url", "src", "dst").cache()
+    e_rows = edges.select("url", "src", "dst", "etype").cache()
 
     # Fitted standardizer (one distributed pass): carried inside the
     # weights dict so inference applies the identical transform.
@@ -258,32 +346,38 @@ def train_ecn(
         theta = _train_loop(
             theta, shapes, n_params, nf_rows, e_rows, feature_cols,
             epochs, lr, m, v, b1, b2, eps, grad_schema, verbose, scaler,
+            n_layers, n_etypes,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
         nf_rows.unpersist()
         e_rows.unpersist()
-    return dict(_unflatten(theta, shapes), **scaler)
+    return dict(_unflatten(theta, shapes, n_layers, n_etypes), **scaler)
 
 
 def _train_loop(theta, shapes, n_params, nf_rows, e_rows, feature_cols,
-                epochs, lr, m, v, b1, b2, eps, grad_schema, verbose, scaler):
+                epochs, lr, m, v, b1, b2, eps, grad_schema, verbose, scaler,
+                n_layers, n_etypes):
     for t in range(1, epochs + 1):
-        weights = dict(_unflatten(theta, shapes), **scaler)
+        weights = dict(_unflatten(theta, shapes, n_layers, n_etypes), **scaler)
 
         def run(key, nfs: pd.DataFrame, es: pd.DataFrame) -> pd.DataFrame:
             ids = nfs["node_id"].to_numpy()
             idx = {nid: i for i, nid in enumerate(ids)}
             nf = nfs[feature_cols].to_numpy(dtype=np.float64)
             y = nfs["_y"].to_numpy(dtype=np.int64)
-            pairs = [
-                (idx[s], idx[d])
-                for s, d in zip(es["src"], es["dst"])
+            triples = [
+                (idx[s], idx[d], ETYPE_IDX.get(t, 2))
+                for s, d, t in zip(es["src"], es["dst"], es["etype"])
                 if s in idx and d in idx
             ]
-            src = np.array([p[0] for p in pairs], dtype=np.int64)
-            dst = np.array([p[1] for p in pairs], dtype=np.int64)
-            flat, loss, n = _doc_grad(nf, src, dst, y, weights)
+            src = np.array([p[0] for p in triples], dtype=np.int64)
+            dst = np.array([p[1] for p in triples], dtype=np.int64)
+            e_cls = (
+                np.array([p[2] for p in triples], dtype=np.int64)
+                if "wes" in weights else None
+            )
+            flat, loss, n = _doc_grad(nf, src, dst, y, weights, e_cls)
             return pd.DataFrame({"grad": [flat.tolist()], "loss": [loss], "n": [n]})
 
         per_doc = nf_rows.groupBy("url").cogroup(e_rows.groupBy("url")).applyInPandas(
