@@ -58,3 +58,15 @@ def test_filter_output_files(spark):
     )
     kept = {r.url for r in filter_output_files(pages).collect()}
     assert kept == {"https://h/doc/1.mpxml"}
+
+
+def test_constant_and_gt_leak_features(spark):
+    from transkribusdu_spark.pipeline.features import (
+        with_constant_feature,
+        with_gt_leak_feature,
+    )
+
+    df = spark.createDataFrame([("a", "paragraph"), ("b", "other")], "node_id string, label string")
+    out = {r.node_id: r for r in with_gt_leak_feature(with_constant_feature(df)).collect()}
+    assert out["a"].nf_const == 1.0 and out["b"].nf_const == 1.0
+    assert out["a"].nf_gt_leak == 1.0 and out["b"].nf_gt_leak == 0.0

@@ -189,6 +189,24 @@ def edge_features(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
+def with_constant_feature(df: DataFrame) -> DataFrame:
+    """F10 constant-1 feature (reference Node_Transformer_Constant /
+    Edge_1, ``FeatureDefinition_Standard.py:141-157``): a bias column
+    for models without an intercept term."""
+    return df.withColumn("nf_const", F.lit(1.0))
+
+
+def with_gt_leak_feature(df: DataFrame, label_col: str = "label") -> DataFrame:
+    """F9 ground-truth-leak feature (reference's optional sanity/debug
+    channel, SURVEY §2.4): expose the label as a feature so a sanity run
+    can verify the learner reaches ~100% — NEVER for real training."""
+    from ..schemas import MAIN_CONTENT_LABELS
+
+    return df.withColumn(
+        "nf_gt_leak", F.col(label_col).isin(list(MAIN_CONTENT_LABELS)).cast("double")
+    )
+
+
 NOPAGE_GEOM_COLS = [
     "ng_x1", "ng_x2", "ng_x1_sq", "ng_x2_sq",
     "ng_y1", "ng_y2", "ng_y1_sq", "ng_y2_sq",

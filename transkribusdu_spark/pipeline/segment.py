@@ -109,67 +109,45 @@ def agglomerate_doc(
     return out
 
 
+def _cluster_by(nodes: DataFrame, edge_scores: DataFrame, algo: str,
+                threshold: float) -> DataFrame:
+    """Shared distributed shape for both clusterers: nodes and scored
+    edges are COGROUPED per url (two clean keyed streams — no
+    null-padded union frame), each document solved by its numpy kernel."""
+    n = nodes.select("url", "node_id")
+    e = edge_scores.select("url", "src", "dst", "p_continue")
+    cols = [f.name for f in CLUSTERS_SCHEMA.fields]
+
+    def run(key, nfs: pd.DataFrame, es: pd.DataFrame) -> pd.DataFrame:
+        url = key[0]
+        node_ids = sorted(nfs["node_id"].unique())
+        if algo == "agglo":
+            clusters = agglomerate_doc(node_ids, es, threshold)
+        else:
+            clusters = cluster_doc(node_ids, es, threshold)
+        rows = [
+            dict(url=url, cluster_id=i, node_ids=c, proba=None, algo=algo)
+            for i, c in enumerate(clusters)
+        ]
+        return pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
+
+    return n.groupBy("url").cogroup(e.groupBy("url")).applyInPandas(
+        run, schema=CLUSTERS_SCHEMA
+    )
+
+
 def agglomerative_clusters(nodes: DataFrame, edge_scores: DataFrame,
                            seed_threshold: float = 0.99) -> DataFrame:
     """Distributed agglomerative segmentation: same shuffle shape as
     connected_components, C3 kernel per document."""
-    n = nodes.select("url", "node_id")
-    merged = n.select(
-        "url", "node_id",
-        F.lit(None).cast("string").alias("src"),
-        F.lit(None).cast("string").alias("dst"),
-        F.lit(None).cast("double").alias("p_continue"),
-    ).unionByName(
-        edge_scores.select(
-            "url", F.lit(None).cast("string").alias("node_id"),
-            "src", "dst", "p_continue",
-        )
-    )
-
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        url = pdf["url"].iloc[0]
-        node_ids = sorted(pdf.loc[pdf["node_id"].notna(), "node_id"].unique())
-        edges = pdf.loc[pdf["src"].notna(), ["src", "dst", "p_continue"]]
-        clusters = agglomerate_doc(node_ids, edges, seed_threshold)
-        rows = [
-            dict(url=url, cluster_id=i, node_ids=c, proba=None, algo="agglo")
-            for i, c in enumerate(clusters)
-        ]
-        cols = [f.name for f in CLUSTERS_SCHEMA.fields]
-        return pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
-
-    return merged.groupBy("url").applyInPandas(run, schema=CLUSTERS_SCHEMA)
+    return _cluster_by(nodes, edge_scores, "agglo", seed_threshold)
 
 
 def connected_components(nodes: DataFrame, edge_scores: DataFrame,
                          threshold: float = 0.5) -> DataFrame:
     """nodes + scored edges -> clusters (url, cluster_id, node_ids, proba, algo).
 
-    One co-partitioned groupBy on url; singletons (nodes without a
+    One co-partitioned cogroup on url; singletons (nodes without a
     continue-edge) become their own cluster, matching the reference.
     """
-    n = nodes.select("url", "node_id")
-    e = edge_scores.select(
-        "url", "src", "dst", "p_continue",
-        F.lit(None).cast("string").alias("node_id"),
-    )
-    merged = n.select(
-        "url", "node_id",
-        F.lit(None).cast("string").alias("src"),
-        F.lit(None).cast("string").alias("dst"),
-        F.lit(None).cast("double").alias("p_continue"),
-    ).unionByName(e.select("url", "node_id", "src", "dst", "p_continue"))
-
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        url = pdf["url"].iloc[0]
-        node_ids = sorted(pdf.loc[pdf["node_id"].notna(), "node_id"].unique())
-        edges = pdf.loc[pdf["src"].notna(), ["src", "dst", "p_continue"]]
-        clusters = cluster_doc(node_ids, edges, threshold)
-        rows = [
-            dict(url=url, cluster_id=i, node_ids=c, proba=None, algo="cc")
-            for i, c in enumerate(clusters)
-        ]
-        cols = [f.name for f in CLUSTERS_SCHEMA.fields]
-        return pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
-
-    return merged.groupBy("url").applyInPandas(run, schema=CLUSTERS_SCHEMA)
+    return _cluster_by(nodes, edge_scores, "cc", threshold)
