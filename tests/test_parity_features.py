@@ -214,3 +214,45 @@ def test_boxpartition_on_table_fixture_rows():
             assert bp.is_valid_cut(0, mid, 1300, mid), (r0, mid)
             n_valid += 1
     assert n_valid >= 1
+
+
+def test_edge_sequentiality_f11(spark):
+    """Page-number sequentiality (Transformer_PageXml.py:424-440 +
+    PageNumberSimpleSequenciality.py): int(sA)+1 == int(sB), signed,
+    split by same-page vs cross-page; non-integers never sequence."""
+    from transkribusdu_spark.pipeline.edgefeats import edge_sequentiality
+
+    df = spark.createDataFrame(
+        [
+            ("u", "a", "b", "V", "1", "2"),
+            ("u", "b", "a", "V", "2", "1"),
+            ("u", "a", "c", "CP", "1", "2"),
+            ("u", "a", "d", "V", "1", "3"),
+            ("u", "a", "e", "V", "x", "x"),
+        ],
+        "url string, src string, dst string, etype string, src_text string, dst_text string",
+    )
+    rows = {(r.src, r.dst): r for r in edge_sequentiality(df).collect()}
+    assert rows[("a", "b")].ef_seq_sp == 1.0 and rows[("a", "b")].ef_seq_cp == 0.0
+    assert rows[("b", "a")].ef_seq_sp == -1.0
+    assert rows[("a", "c")].ef_seq_cp == 1.0 and rows[("a", "c")].ef_seq_sp == 0.0
+    assert rows[("a", "d")].ef_seq_sp == 0.0
+    assert rows[("a", "e")].ef_seq_sp == 0.0 and rows[("a", "e")].ef_same_text == 1.0
+
+
+def test_clusters_with_hulls_c4(spark):
+    from transkribusdu_spark.pipeline.segment import clusters_with_hulls
+
+    clusters = spark.createDataFrame(
+        [("u", 0, ["a", "b"], None, "cc")],
+        "url string, cluster_id int, node_ids array<string>, proba double, algo string",
+    )
+    nodes = spark.createDataFrame(
+        [("u", "a", 0.0, 0.0, 10.0, 10.0), ("u", "b", 20.0, 0.0, 30.0, 10.0)],
+        "url string, node_id string, x1 double, y1 double, x2 double, y2 double",
+    )
+    r = clusters_with_hulls(clusters, nodes).collect()[0]
+    assert r.n_nodes == 2
+    pts = {tuple(map(int, p.split(","))) for p in r.hull_points.split(" ")}
+    # hull of the two boxes' corners = the 4 outer corners
+    assert pts == {(0, 0), (30, 0), (30, 10), (0, 10)}

@@ -286,3 +286,32 @@ def edge_class_shift(
             exprs.append(F.when(is_k, F.col(cname)).otherwise(F.lit(0.0)).alias(out_name))
             shifted.append(out_name)
     return df.select("*", *exprs), shifted
+
+
+# ---------------------------------------------------------------------------
+# F11 completion: page-number sequentiality edge features (reference
+# Transformer_PageXml.py:402-445 + PageNumberSimpleSequenciality.py:24 —
+# two texts are "in sequence" iff int(sA) + 1 == int(sB)).
+# ---------------------------------------------------------------------------
+def edge_sequentiality(edge_feats_with_text: DataFrame) -> DataFrame:
+    """Adds ef_same_text, ef_seq_sp(_abs), ef_seq_cp(_abs). Expects the
+    output of :func:`edge_text_features` (src_text/dst_text present).
+    try_cast mirrors the reference's int() guard: non-integer texts are
+    never 'in sequence'."""
+    c = F.col
+    n1 = c("src_text").try_cast("long")
+    n2 = c("dst_text").try_cast("long")
+    seq = (
+        F.when((n1 + 1) == n2, F.lit(1.0))
+        .when((n2 + 1) == n1, F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+    )
+    same_page = c("etype") != "CP"
+    return (
+        edge_feats_with_text
+        .withColumn("ef_same_text", (c("src_text") == c("dst_text")).cast("double"))
+        .withColumn("ef_seq_sp", F.when(same_page, seq).otherwise(F.lit(0.0)))
+        .withColumn("ef_seq_sp_abs", F.abs(c("ef_seq_sp")))
+        .withColumn("ef_seq_cp", F.when(~same_page, seq).otherwise(F.lit(0.0)))
+        .withColumn("ef_seq_cp_abs", F.abs(c("ef_seq_cp")))
+    )

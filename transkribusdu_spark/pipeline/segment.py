@@ -151,3 +151,48 @@ def connected_components(nodes: DataFrame, edge_scores: DataFrame,
     continue-edge) become their own cluster, matching the reference.
     """
     return _cluster_by(nodes, edge_scores, "cc", threshold)
+
+
+def clusters_with_hulls(clusters: DataFrame, nodes: DataFrame) -> DataFrame:
+    """C4 cluster -> DOM geometry: each cluster gets the convex hull of
+    its members' box corners as a PageXML-style points string (reference
+    emits hull polygons on the cluster elements; shapely-free via the
+    monotone-chain hull in functions/separator.py)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from ..functions.separator import convex_hull
+
+    memb = clusters.select(
+        "url", "cluster_id", "algo", F.explode("node_ids").alias("node_id")
+    ).join(nodes.select("url", "node_id", "x1", "y1", "x2", "y2"), ["url", "node_id"])
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("cluster_id", T.IntegerType(), False),
+            T.StructField("algo", T.StringType(), False),
+            T.StructField("n_nodes", T.IntegerType(), False),
+            T.StructField("hull_points", T.StringType(), False),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (url, cid, algo), g in pdf.groupby(["url", "cluster_id", "algo"]):
+            pts = np.concatenate(
+                [
+                    g[["x1", "y1"]].to_numpy(), g[["x2", "y1"]].to_numpy(),
+                    g[["x2", "y2"]].to_numpy(), g[["x1", "y2"]].to_numpy(),
+                ]
+            ).astype(float)
+            hull = convex_hull(pts)
+            s = " ".join(f"{int(x)},{int(y)}" for x, y in hull)
+            out.append(
+                {"url": url, "cluster_id": int(cid), "algo": algo,
+                 "n_nodes": len(g), "hull_points": s}
+            )
+        cols = [f.name for f in schema.fields]
+        return pd.DataFrame(out, columns=cols)
+
+    return memb.groupBy("url").applyInPandas(run, schema=schema)
