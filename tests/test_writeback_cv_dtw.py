@@ -60,3 +60,34 @@ def test_grid_search_small(spark, sf_dir):
     assert len(metrics) == 4
     assert all(0.0 <= m <= 1.0 for m in metrics.values())
     assert model.numFeatures > 0
+
+
+def test_writeback_rebuilds_true_line_tree(spark, sf_dir):
+    """S10 full: rendering with the multitype line table must nest each
+    region's ORIGINAL lines (ids, boxes, texts), and the round-trip must
+    reproduce both the region extraction and the line node set."""
+    from pyspark.sql import functions as F
+
+    from transkribusdu_spark.pipeline.extract import extract_text_spans
+    from transkribusdu_spark.pipeline.parse import parse_pages
+    from transkribusdu_spark.sources.writeback import render_enriched_xml
+    from transkribusdu_spark.synth import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir).limit(40)
+    both = parse_pages(pages, kinds=("TextRegion", "TextLine")).cache()
+    regions = both.filter(F.col("kind") == "TextRegion")
+    lines = both.filter(F.col("kind") == "TextLine")
+    rendered = render_enriched_xml(regions, lines=both).select(
+        "url", F.encode("xml", "UTF-8").alias("html")
+    )
+    # region-level round trip: extraction identical to the original
+    re_regions = parse_pages(rendered)
+    a = extract_text_spans(regions).select("url", "extracted_text")
+    b = extract_text_spans(re_regions).select("url", F.col("extracted_text").alias("rt"))
+    diff = a.join(b, "url").filter(F.col("extracted_text") != F.col("rt")).count()
+    assert diff == 0
+    # line-level round trip: the ORIGINAL line ids/texts come back
+    re_lines = parse_pages(rendered, kinds=("TextLine",))
+    orig = {(r.url, r.node_id, r.text) for r in lines.select("url", "node_id", "text").collect()}
+    back = {(r.url, r.node_id, r.text) for r in re_lines.select("url", "node_id", "text").collect()}
+    assert orig == back

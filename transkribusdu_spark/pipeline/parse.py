@@ -215,6 +215,7 @@ def parse_doc_fast(url: str, html: bytes) -> list[dict] | None:
                     "orientation": 0,
                     "reading_index": ridx,
                     "label": label,
+                    "parent_id": None,
                 }
             )
             ridx += 1
@@ -281,6 +282,7 @@ def parse_doc_et(url: str, html: bytes, kinds: tuple[str, ...] = ("TextRegion",)
                         text=" ".join(texts),
                         reading_index=ridx,
                         label=label,
+                        parent_id=None,
                     )
                 )
             if want_line:
@@ -299,6 +301,7 @@ def parse_doc_et(url: str, html: bytes, kinds: tuple[str, ...] = ("TextRegion",)
                             text=node_text(uni),
                             reading_index=li,
                             label=label,
+                            parent_id=region.get("id"),
                         )
                     )
             ridx += 1

@@ -42,6 +42,9 @@ NODES_SCHEMA = T.StructType(
         T.StructField("orientation", T.IntegerType(), False),
         T.StructField("reading_index", T.IntegerType(), True),
         T.StructField("label", T.StringType(), True),
+        # parent region id for sub-region node kinds (TextLine) — the
+        # linkage the exporter needs to rebuild the region/line tree
+        T.StructField("parent_id", T.StringType(), True),
     ]
 )
 

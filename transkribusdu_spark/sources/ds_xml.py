@@ -122,7 +122,7 @@ def parse_dsxml_doc(url: str, xml: bytes) -> list[dict]:
                     "node_id": blk.get("id"), "kind": "TextRegion",
                     "x1": x1, "y1": y1, "x2": x1 + w, "y2": y1 + h,
                     "text": " ".join(toks), "orientation": 0,
-                    "reading_index": ridx, "label": label,
+                    "reading_index": ridx, "label": label, "parent_id": None,
                 }
             )
             ridx += 1

@@ -71,6 +71,7 @@ def parse_json_pages(pages: DataFrame, payload_col: str = "html") -> DataFrame:
         F.lit(0).alias("orientation"),
         F.lit(None).cast("int").alias("reading_index"),
         F.coalesce(F.col("b.label"), F.lit("other")).alias("label"),
+        F.lit(None).cast("string").alias("parent_id"),
     )
 
 

@@ -35,16 +35,43 @@ RENDERED_SCHEMA = T.StructType(
 
 
 def render_enriched_xml(nodes: DataFrame, label_col: str = "label",
-                        proba_col: str | None = None) -> DataFrame:
+                        proba_col: str | None = None,
+                        lines: DataFrame | None = None) -> DataFrame:
     """Labeled nodes -> one enriched PageXML-like document per url with
-    predicted structure types (and optional DU_Y probability attr)."""
+    predicted structure types (and optional DU_Y probability attr).
+
+    ``lines``: optional TextLine node table (kind='TextLine' rows with
+    parent_id linkage from the multitype parser) — when given, the TRUE
+    region/line tree is rebuilt (S10 full: each region nests its
+    original lines with their own boxes/texts); otherwise each region
+    carries one synthetic line holding the region text."""
     cols = ["url", "page_num", "page_w", "page_h", "node_id", "x1", "y1",
             "x2", "y2", "text", label_col]
     if proba_col:
         cols.append(proba_col)
-    src = nodes.select(*cols).withColumnRenamed(label_col, "label_out")
+    src = nodes.filter(
+        F.col("kind") == "TextRegion"
+    ).select(*cols).withColumnRenamed(label_col, "label_out") if "kind" in nodes.columns else nodes.select(*cols).withColumnRenamed(label_col, "label_out")
     if proba_col:
         src = src.withColumnRenamed(proba_col, "proba_out")
+    if lines is not None:
+        ln = (
+            lines.filter(F.col("kind") == "TextLine")
+            .groupBy("url", F.col("parent_id").alias("node_id"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("y1").alias("ly1"), F.col("x1").alias("lx1"),
+                            F.col("node_id").alias("lid"),
+                            F.col("x2").alias("lx2"), F.col("y2").alias("ly2"),
+                            F.coalesce("text", F.lit("")).alias("ltext"),
+                        )
+                    )
+                ).alias("lines_arr")
+            )
+        )
+        src = src.join(ln, ["url", "node_id"], "left")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         buf: dict[str, pd.DataFrame] = {}
@@ -60,15 +87,31 @@ def render_enriched_xml(nodes: DataFrame, label_col: str = "label",
                 parts.append(f'<Page n="{int(pnum)}" imageWidth="{w:g}" imageHeight="{h:g}">')
                 for r in pg.itertuples():
                     proba = f' DU_Y="{r.proba_out:.6f}"' if hasattr(r, "proba_out") else ""
+                    real_lines = getattr(r, "lines_arr", None)
+                    if real_lines is not None and not (
+                        isinstance(real_lines, float) or real_lines is None
+                    ) and len(real_lines):
+                        # S10 full: rebuild the original line tree
+                        lparts = [
+                            f'<TextLine id="{_esc(l["lid"])}">'
+                            f'<Coords points="{l["lx1"]:g},{l["ly1"]:g} {l["lx2"]:g},{l["ly1"]:g} '
+                            f'{l["lx2"]:g},{l["ly2"]:g} {l["lx1"]:g},{l["ly2"]:g}"/>'
+                            f"<TextEquiv><Unicode>{_esc(l['ltext'])}</Unicode></TextEquiv></TextLine>"
+                            for l in real_lines
+                        ]
+                        body = "".join(lparts)
+                    else:
+                        body = (
+                            f'<TextLine id="{_esc(r.node_id)}_l0"><Coords points="{r.x1:g},{r.y1:g} '
+                            f'{r.x2:g},{r.y1:g} {r.x2:g},{r.y2:g} {r.x1:g},{r.y2:g}"/>'
+                            f"<TextEquiv><Unicode>{_esc(r.text)}</Unicode></TextEquiv></TextLine>"
+                        )
                     parts.append(
                         f'<TextRegion id="{_esc(r.node_id)}" custom="structure '
                         f'{{type:{_esc(r.label_out)};}}"{proba}>'
                         f'<Coords points="{r.x1:g},{r.y1:g} {r.x2:g},{r.y1:g} '
                         f'{r.x2:g},{r.y2:g} {r.x1:g},{r.y2:g}"/>'
-                        f'<TextLine id="{_esc(r.node_id)}_l0"><Coords points="{r.x1:g},{r.y1:g} '
-                        f'{r.x2:g},{r.y1:g} {r.x2:g},{r.y2:g} {r.x1:g},{r.y2:g}"/>'
-                        f"<TextEquiv><Unicode>{_esc(r.text)}</Unicode></TextEquiv></TextLine>"
-                        f"</TextRegion>"
+                        + body + "</TextRegion>"
                     )
                 parts.append("</Page>")
             parts.append("</PcGts>")
