@@ -102,3 +102,59 @@ def test_trained_ecn_extraction_quality(spark, sf_dir, trained):
     # measured 444/500 at 60 epochs (491 at 150); generous floor guards
     # against numerical drift without masking a real regression
     assert ok >= 0.8 * n_docs, f"trained ECN byte-identical {ok}/{n_docs}"
+
+
+def test_gat_backprop_matches_finite_differences():
+    from transkribusdu_spark.pipeline.ecn import (
+        _gat_doc_grad,
+        _gat_flatten,
+        _gat_forward,
+        _gat_shapes,
+        _gat_unflatten,
+        gat_init,
+    )
+
+    rng = np.random.default_rng(1)
+    n, f, hdim, k = 6, 4, 3, 2
+    nf = rng.standard_normal((n, f))
+    src = np.array([0, 1, 2, 3])
+    dst = np.array([1, 2, 3, 4])
+    y = rng.integers(0, k, n)
+    w = gat_init(f, hdim, k, 2, seed=9)
+    shapes = _gat_shapes(f, hdim, k, 2)
+    theta = _gat_flatten(w)
+    flat, _, _ = _gat_doc_grad(nf, src, dst, y, w)
+
+    def loss_at(th):
+        p = _gat_forward(nf, src, dst, _gat_unflatten(th, shapes))
+        return float(-np.log(np.clip(p[np.arange(n), y], 1e-12, 1.0)).sum())
+
+    eps = 1e-6
+    for i in rng.choice(len(theta), 25, replace=False):
+        tp, tm = theta.copy(), theta.copy()
+        tp[i] += eps
+        tm[i] -= eps
+        num = (loss_at(tp) - loss_at(tm)) / (2 * eps)
+        assert abs(num - flat[i]) < 1e-5 * max(1.0, abs(num))
+
+
+def test_trained_gat_learns(spark, sf_dir):
+    """M5: a short distributed GAT fit must clearly learn (measured: 120
+    epochs -> 0.99 node accuracy / 462 of 500 byte-identical)."""
+    nodes = parse_pages(pages_from_documents(spark, sf_dir)).filter(
+        F.col("doc_id") < 150
+    ).cache()
+    edges = build_edges(nodes).cache()
+    nf = node_features(nodes, edges).cache()
+    nf.count()
+    w = train_ecn(nf, edges, NODE_FEATURE_COLS_FULL, epochs=30, lr=0.05, arch="gat")
+    assert "gat_ws" in w
+    scored = ecn_score(nf, edges, w, NODE_FEATURE_COLS_FULL)
+    pred = scored.withColumn(
+        "pred_label",
+        F.when(F.col("y_proba")[1] >= 0.5, F.lit("main")).otherwise(F.lit("boilerplate")),
+    )
+    labeled = nf.join(pred.select("url", "node_id", "pred_label"), ["url", "node_id"])
+    gt = F.when(F.col("label").isin("paragraph", "heading"), "main").otherwise("boilerplate")
+    acc = labeled.select(F.avg((F.col("pred_label") == gt).cast("double"))).collect()[0][0]
+    assert acc >= 0.85, f"GAT accuracy {acc}"

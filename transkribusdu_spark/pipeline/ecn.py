@@ -118,7 +118,7 @@ def ecn_score(nodes_feats: DataFrame, edges: DataFrame, weights: dict,
     ``weights`` is broadcast by closure capture (tiny)."""
     nf_rows = nodes_feats.select("url", "node_id", *feature_cols)
     e_rows = edges.select("url", "src", "dst", "etype")
-    conditioned = "wes" in weights
+    conditioned = "wes" in weights and "gat_ws" not in weights
 
     def run(key, nfs: pd.DataFrame, es: pd.DataFrame) -> pd.DataFrame:
         url = key[0]
@@ -133,7 +133,8 @@ def ecn_score(nodes_feats: DataFrame, edges: DataFrame, weights: dict,
         src = np.array([p[0] for p in triples], dtype=np.int64)
         dst = np.array([p[1] for p in triples], dtype=np.int64)
         e_cls = np.array([p[2] for p in triples], dtype=np.int64) if conditioned else None
-        proba = _forward(nf, src, dst, weights, e_cls)
+        fwd = _gat_forward if "gat_ws" in weights else _forward
+        proba = fwd(nf, src, dst, weights, e_cls)
         return pd.DataFrame({
             "url": url, "node_id": ids,
             "y_proba": [np.round(p, 6).tolist() for p in proba],
@@ -287,6 +288,7 @@ def train_ecn(
     verbose: bool = False,
     tune_epoch_latency: bool = True,
     n_etypes: int = 0,
+    arch: str = "ecn",
 ) -> dict:
     """Fit ECN weights by distributed full-batch Adam.
 
@@ -310,9 +312,13 @@ def train_ecn(
 
     main = tuple(main_labels) if main_labels is not None else MAIN_CONTENT_LABELS
     n_features, n_classes = len(feature_cols), len(classes)
-    shapes = _shapes(n_features, n_hidden, n_classes, n_layers, n_etypes)
+    if arch == "gat":
+        shapes = _gat_shapes(n_features, n_hidden, n_classes, n_layers)
+        theta = _gat_flatten(gat_init(n_features, n_hidden, n_classes, n_layers, seed))
+    else:
+        shapes = _shapes(n_features, n_hidden, n_classes, n_layers, n_etypes)
+        theta = _flatten(init_weights(n_features, n_hidden, n_classes, n_layers, seed, n_etypes))
     n_params = sum(r * c for r, c in shapes)
-    theta = _flatten(init_weights(n_features, n_hidden, n_classes, n_layers, seed, n_etypes))
 
     nf_rows = nodes_feats.select(
         "url", "node_id",
@@ -346,20 +352,25 @@ def train_ecn(
         theta = _train_loop(
             theta, shapes, n_params, nf_rows, e_rows, feature_cols,
             epochs, lr, m, v, b1, b2, eps, grad_schema, verbose, scaler,
-            n_layers, n_etypes,
+            n_layers, n_etypes, arch,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
         nf_rows.unpersist()
         e_rows.unpersist()
-    return dict(_unflatten(theta, shapes, n_layers, n_etypes), **scaler)
+    unf = (lambda th: _gat_unflatten(th, shapes)) if arch == "gat" else (
+        lambda th: _unflatten(th, shapes, n_layers, n_etypes))
+    return dict(unf(theta), **scaler)
 
 
 def _train_loop(theta, shapes, n_params, nf_rows, e_rows, feature_cols,
                 epochs, lr, m, v, b1, b2, eps, grad_schema, verbose, scaler,
-                n_layers, n_etypes):
+                n_layers, n_etypes, arch="ecn"):
+    grad_fn = _gat_doc_grad if arch == "gat" else _doc_grad
+    unf = (lambda th: _gat_unflatten(th, shapes)) if arch == "gat" else (
+        lambda th: _unflatten(th, shapes, n_layers, n_etypes))
     for t in range(1, epochs + 1):
-        weights = dict(_unflatten(theta, shapes, n_layers, n_etypes), **scaler)
+        weights = dict(unf(theta), **scaler)
 
         def run(key, nfs: pd.DataFrame, es: pd.DataFrame) -> pd.DataFrame:
             ids = nfs["node_id"].to_numpy()
@@ -377,7 +388,7 @@ def _train_loop(theta, shapes, n_params, nf_rows, e_rows, feature_cols,
                 np.array([p[2] for p in triples], dtype=np.int64)
                 if "wes" in weights else None
             )
-            flat, loss, n = _doc_grad(nf, src, dst, y, weights, e_cls)
+            flat, loss, n = grad_fn(nf, src, dst, y, weights, e_cls)
             return pd.DataFrame({"grad": [flat.tolist()], "loss": [loss], "n": [n]})
 
         per_doc = nf_rows.groupBy("url").cogroup(e_rows.groupBy("url")).applyInPandas(
@@ -410,3 +421,168 @@ def _train_loop(theta, shapes, n_params, nf_rows, e_rows, feature_cols,
         if verbose:
             print(f"epoch {t}: loss {total_loss / max(total_n, 1):.5f}", flush=True)
     return theta
+
+
+# ---------------------------------------------------------------------------
+# M5: GAT — single-head graph attention (reference ``gcn/gcn_models.py``
+# GraphAttention family). Same per-document numpy + distributed-Adam
+# shape as the ECN; attention decomposes a.[Wh_i || Wh_j] into
+# a1.z_i + a2.z_j with a leaky-relu and a per-neighbourhood softmax
+# (self-loops included).
+# ---------------------------------------------------------------------------
+_LRELU_SLOPE = 0.2
+
+
+def gat_init(n_features: int, n_hidden: int, n_classes: int,
+             n_layers: int = 2, seed: int = 42) -> dict:
+    rng = np.random.default_rng([seed, 5, n_features, n_hidden, n_classes])
+    dims = [n_features] + [n_hidden] * n_layers
+    ws, a1s, a2s = [], [], []
+    for i in range(n_layers):
+        lim = float(np.sqrt(6.0 / (dims[i] + dims[i + 1])))
+        ws.append(rng.uniform(-lim, lim, size=(dims[i], dims[i + 1])).tolist())
+        a1s.append(rng.uniform(-lim, lim, size=(dims[i + 1], 1)).tolist())
+        a2s.append(rng.uniform(-lim, lim, size=(dims[i + 1], 1)).tolist())
+    lim = float(np.sqrt(6.0 / (dims[-1] + n_classes)))
+    w_out = rng.uniform(-lim, lim, size=(dims[-1], n_classes)).tolist()
+    return {"gat_ws": ws, "gat_a1": a1s, "gat_a2": a2s, "w_out": w_out}
+
+
+def _gat_shapes(n_features: int, n_hidden: int, n_classes: int, n_layers: int):
+    dims = [n_features] + [n_hidden] * n_layers
+    out = []
+    for i in range(n_layers):
+        out += [(dims[i], dims[i + 1]), (dims[i + 1], 1), (dims[i + 1], 1)]
+    out.append((dims[-1], n_classes))
+    return out
+
+
+def _gat_flatten(w: dict) -> np.ndarray:
+    parts = []
+    for li in range(len(w["gat_ws"])):
+        parts += [np.asarray(w["gat_ws"][li]).ravel(),
+                  np.asarray(w["gat_a1"][li]).ravel(),
+                  np.asarray(w["gat_a2"][li]).ravel()]
+    parts.append(np.asarray(w["w_out"]).ravel())
+    return np.concatenate(parts)
+
+
+def _gat_unflatten(vec: np.ndarray, shapes) -> dict:
+    mats, off = [], 0
+    for r, c in shapes:
+        mats.append(vec[off:off + r * c].reshape(r, c))
+        off += r * c
+    n_layers = (len(mats) - 1) // 3
+    return {
+        "gat_ws": [mats[3 * i].tolist() for i in range(n_layers)],
+        "gat_a1": [mats[3 * i + 1].tolist() for i in range(n_layers)],
+        "gat_a2": [mats[3 * i + 2].tolist() for i in range(n_layers)],
+        "w_out": mats[-1].tolist(),
+    }
+
+
+def _gat_pairs(n: int, src: np.ndarray, dst: np.ndarray):
+    """Directed attention pairs: self-loops + both edge directions."""
+    ii = np.concatenate([np.arange(n), src, dst])
+    jj = np.concatenate([np.arange(n), dst, src])
+    return ii, jj
+
+
+def _seg_softmax(e: np.ndarray, ii: np.ndarray, n: int) -> np.ndarray:
+    mx = np.full(n, -np.inf)
+    np.maximum.at(mx, ii, e)
+    ex = np.exp(e - mx[ii])
+    denom = np.zeros(n)
+    np.add.at(denom, ii, ex)
+    return ex / denom[ii]
+
+
+def _gat_forward(nf: np.ndarray, src: np.ndarray, dst: np.ndarray, weights: dict,
+                 _e_cls=None) -> np.ndarray:
+    h = _scale(nf, weights)
+    n = len(h)
+    ii, jj = _gat_pairs(n, src, dst)
+    for li in range(len(weights["gat_ws"])):
+        z = h @ np.asarray(weights["gat_ws"][li])
+        s = (z @ np.asarray(weights["gat_a1"][li])).ravel()
+        t = (z @ np.asarray(weights["gat_a2"][li])).ravel()
+        pre = s[ii] + t[jj]
+        e = np.where(pre > 0, pre, _LRELU_SLOPE * pre)
+        alpha = _seg_softmax(e, ii, n)
+        agg = np.zeros_like(z)
+        np.add.at(agg, ii, alpha[:, None] * z[jj])
+        h = np.maximum(agg, 0.0)
+    logits = h @ np.asarray(weights["w_out"])
+    logits -= logits.max(axis=1, keepdims=True)
+    ex = np.exp(logits)
+    return ex / ex.sum(axis=1, keepdims=True)
+
+
+def _gat_doc_grad(nf: np.ndarray, src: np.ndarray, dst: np.ndarray, y: np.ndarray,
+                  weights: dict, _e_cls=None) -> tuple[np.ndarray, float, int]:
+    h0 = _scale(nf, weights)
+    n = len(h0)
+    ii, jj = _gat_pairs(n, src, dst)
+    n_layers = len(weights["gat_ws"])
+    hs, caches = [h0], []
+    h = h0
+    for li in range(n_layers):
+        w = np.asarray(weights["gat_ws"][li])
+        a1 = np.asarray(weights["gat_a1"][li])
+        a2 = np.asarray(weights["gat_a2"][li])
+        z = h @ w
+        s = (z @ a1).ravel()
+        t = (z @ a2).ravel()
+        pre = s[ii] + t[jj]
+        e = np.where(pre > 0, pre, _LRELU_SLOPE * pre)
+        alpha = _seg_softmax(e, ii, n)
+        agg = np.zeros_like(z)
+        np.add.at(agg, ii, alpha[:, None] * z[jj])
+        h_new = np.maximum(agg, 0.0)
+        caches.append((z, pre, alpha, agg))
+        hs.append(h_new)
+        h = h_new
+    w_out = np.asarray(weights["w_out"])
+    logits = h @ w_out
+    logits -= logits.max(axis=1, keepdims=True)
+    ex = np.exp(logits)
+    p = ex / ex.sum(axis=1, keepdims=True)
+    onehot = np.zeros_like(p)
+    onehot[np.arange(n), y] = 1.0
+    loss = float(-np.log(np.clip(p[np.arange(n), y], 1e-12, 1.0)).sum())
+
+    dlog = p - onehot
+    g_wout = hs[-1].T @ dlog
+    dh = dlog @ w_out.T
+    grads = [None] * n_layers
+    for li in range(n_layers - 1, -1, -1):
+        z, pre, alpha, agg = caches[li]
+        w = np.asarray(weights["gat_ws"][li])
+        a1 = np.asarray(weights["gat_a1"][li])
+        a2 = np.asarray(weights["gat_a2"][li])
+        dagg = dh * (agg > 0)
+        # agg_i = sum_j alpha_ij z_j
+        dalpha = np.einsum("pd,pd->p", dagg[ii], z[jj])
+        dz = np.zeros_like(z)
+        np.add.at(dz, jj, alpha[:, None] * dagg[ii])
+        # softmax grad per neighbourhood i: de = alpha*(dalpha - sum_k alpha_k dalpha_k)
+        dot = np.zeros(n)
+        np.add.at(dot, ii, alpha * dalpha)
+        de = alpha * (dalpha - dot[ii])
+        dpre = de * np.where(pre > 0, 1.0, _LRELU_SLOPE)
+        ds = np.zeros(n)
+        dt = np.zeros(n)
+        np.add.at(ds, ii, dpre)
+        np.add.at(dt, jj, dpre)
+        # s = z @ a1 ; t = z @ a2
+        g_a1 = (z * ds[:, None]).sum(axis=0)[:, None]
+        g_a2 = (z * dt[:, None]).sum(axis=0)[:, None]
+        dz += ds[:, None] * a1.ravel()[None, :] + dt[:, None] * a2.ravel()[None, :]
+        g_w = hs[li].T @ dz
+        dh = dz @ w.T
+        grads[li] = (g_w, g_a1, g_a2)
+    parts = []
+    for g_w, g_a1, g_a2 in grads:
+        parts += [g_w.ravel(), g_a1.ravel(), g_a2.ravel()]
+    parts.append(g_wout.ravel())
+    return np.concatenate(parts), loss, n
