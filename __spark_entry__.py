@@ -453,8 +453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Ground-truth sidecars (tools/make_truth.py): deterministic expected
 # values for the document-pipeline queries, computed by an INDEPENDENT
 # single-node implementation from the synth layout plan. The driver's
-# correctness gate runs at sf0.01, so oracles read the sf0.01 sidecars.
-_TRUTH = "/root/repo/truth/sf0.01"
+# correctness gate runs at sf0.01, so oracles read the sf0.01 sidecars
+# (path anchored to this file so the repo can live anywhere).
+_TRUTH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "truth", "sf0.01")
 
 
 def _t(name: str) -> str:
