@@ -196,13 +196,30 @@ def _q_ecn_scores(spark, sf_dir):
     )
 
 
-def _q_edges_hist_mode(mode):
-    def q(spark, sf_dir):
-        return edges_from_pages(pages_from_documents(spark, sf_dir), mode=mode).groupBy(
-            "etype"
-        ).agg(F.count("*").alias("n"))
+def _q_edges_hist_modes(spark, sf_dir):
+    """J1/J2/J3/P5 in one multi-mode histogram: g1, g2 (true masking),
+    g1o (overlaps allowed) over raw boxes plus g1 over BBoxDeltaFun-shrunk
+    boxes ('g1s'), each a map-only fused parse+edges pass."""
+    from transkribusdu_spark.pipeline.parse import shrink_bboxes
 
-    return q
+    pages = pages_from_documents(spark, sf_dir)
+    parts = [
+        edges_from_pages(pages, mode=m)
+        .groupBy("etype")
+        .agg(F.count("*").alias("n"))
+        .withColumn("mode", F.lit(m))
+        for m in ("g1", "g2", "g1o")
+    ]
+    shr = (
+        build_edges(shrink_bboxes(parse_pages(pages)))
+        .groupBy("etype")
+        .agg(F.count("*").alias("n"))
+        .withColumn("mode", F.lit("g1s"))
+    )
+    out = parts[0]
+    for p in parts[1:] + [shr]:
+        out = out.unionByName(p)
+    return out.select("mode", "etype", "n")
 
 
 def _q_bieso_rows(spark, sf_dir):
@@ -334,24 +351,78 @@ def _q_chi2_features(spark, sf_dir):
 
 
 def _q_extract_predicted_smoothed(spark, sf_dir):
-    """Full learned path: train node model on GT labels, predict, Viterbi-
-    smooth along reading order, extract main content with the predicted
-    labels (rows-only: model output, not SQL-expressible)."""
+    """Full learned path, hash-gated: fit the DETERMINISTIC closed-form
+    node classifier (diagonal LDA over integer features — every fitted
+    quantity derives from exact integer sums, so the distributed fit is
+    bit-reproducible), predict, Viterbi-smooth along reading order with
+    fitted transitions, extract main content with the predicted labels.
+    Oracle: tools/make_truth.py mirrors the identical spec single-node.
+    (The spark.ml L-BFGS and ECN learned paths remain quality-gated in
+    tests/test_learned_extraction.py and tests/test_ecn_training.py.)"""
     from transkribusdu_spark.pipeline.model import (
         fit_label_transitions,
-        predict_nodes,
-        train_node_classifier,
+        fit_lda_params,
+        predict_nodes_lda,
         viterbi_smooth,
     )
 
-    nodes = parse_pages(pages_from_documents(spark, sf_dir))
-    nf = node_features(nodes, build_edges(nodes)).cache()
-    model = train_node_classifier(nf)
-    pred = predict_nodes(model, nf)
-    sm = viterbi_smooth(pred, log_trans=fit_label_transitions(nf))
+    nodes = parse_pages(pages_from_documents(spark, sf_dir)).cache()
+    params = fit_lda_params(nodes)
+    pred = predict_nodes_lda(nodes, params)
+    sm = viterbi_smooth(pred, log_trans=fit_label_transitions(nodes))
     labeled = pred.drop("y_proba").join(sm, ["url", "node_id"])
     ext = extract_text_spans(labeled, labels=("main",), label_col="smoothed_label")
     return ext.select("doc_id", F.length("extracted_text").alias("n_chars_extracted"))
+
+
+def _q_extract_via_sources(spark, sf_dir):
+    """S5 + S6 + S9/S10 in one query: the JSON-OCR, DS-XML, and enriched
+    write-back round-trip source paths, unioned with a source tag — each
+    path must still be byte-identical to documents.text."""
+    a = _q_extract_via_json(spark, sf_dir).withColumn("source", F.lit("json"))
+    b = _q_extract_via_dsxml(spark, sf_dir).withColumn("source", F.lit("dsxml"))
+    c = _q_extract_via_writeback(spark, sf_dir).withColumn("source", F.lit("writeback"))
+    return a.unionByName(b).unionByName(c)
+
+
+def _q_textstats_all(spark, sf_dir):
+    """Token counting + language-ID + quality scoring + fingerprinting
+    in one wide per-document row (all four textstats operators)."""
+    d = _docs(spark, sf_dir)
+    return (
+        textstats.token_count(d)
+        .join(textstats.language_id(d), "doc_id")
+        .join(textstats.quality_score(d).drop("n_tokens"), "doc_id")
+        .join(textstats.fingerprint(d), "doc_id")
+    )
+
+
+def _q_box_cuts(spark, sf_dir):
+    """C8 cut/partition queries (reference util/Shape.py:300-614): every
+    valid full-width horizontal cut per page with its half-plane
+    partition sizes, validated via BoxPartition interval algebra."""
+    from transkribusdu_spark.functions.shapecut import valid_horizontal_cuts
+
+    nodes = parse_pages(pages_from_documents(spark, sf_dir))
+    return valid_horizontal_cuts(nodes)
+
+
+def _q_cluster_hulls(spark, sf_dir):
+    """C4 cluster -> DOM geometry (reference ...Segmenter_DOM.py:41-117 +
+    util/Shape.py:50-99): convex hull of each cc-cluster's member box
+    corners as a points string (shapely-free monotone chain; oracle =
+    independent Jarvis-march sidecar)."""
+    from transkribusdu_spark.pipeline.segment import clusters_with_hulls
+
+    nodes = parse_pages(pages_from_documents(spark, sf_dir))
+    ef = edge_features(build_edges(nodes), nodes)
+    clusters = connected_components(nodes, edge_oracle_scores(ef))
+    return clusters_with_hulls(clusters, nodes).select(
+        "url",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        "hull_points",
+    )
 
 
 def _q_media_metadata(spark, sf_dir):
@@ -375,44 +446,42 @@ def _q_ann_ivf(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries — the driver gate verifies at most 50, so
+    every registered query carries a current verdict. Related operator
+    variants are folded into multi-mode queries (edges_hist_modes,
+    extract_via_sources, textstats_all) rather than dropped."""
     return {
         # --- document pipeline (SURVEY §2.2/2.3/2.6/2.8: P*, J*, O2, C12) ---
         "extract_main_text": _q_extract_main_text,
         "extract_full_text": _q_extract_full_text,
-        "extract_via_json_source": _q_extract_via_json,
-        "extract_via_writeback_roundtrip": _q_extract_via_writeback,
-        "extract_via_dsxml_source": _q_extract_via_dsxml,
+        "extract_via_sources": _q_extract_via_sources,
         "extract_spans": _q_extract_spans,
         "fold_counts": _q_fold_counts,
         "ecn_scores": _q_ecn_scores,
         "parse_nodes": _q_parse_nodes,
-        "edges_hist": _q_edges_hist,
+        "edges_hist_modes": _q_edges_hist_modes,
         "cluster_cc_oracle": _q_cluster_cc,
         "cluster_agglo_oracle": _q_cluster_agglo,
+        "cluster_hulls": _q_cluster_hulls,
         "dual_graph_sizes": _q_dual_graph,
         "page_coverage": _q_page_coverage,
         "docs_per_host_salted": _q_docs_per_host,
         "node_label_hist": _q_node_label_hist,
-        "edges_hist_g2": _q_edges_hist_mode("g2"),
-        "edges_hist_g1o": _q_edges_hist_mode("g1o"),
         "multitype_node_hist": _q_multitype_hist,
         "extract_predicted_smoothed": _q_extract_predicted_smoothed,
         "bieso_row_tags": _q_bieso_rows,
         "edge_lcs_hist": _q_edge_lcs_hist,
         "neighbor_text_concat": _q_neighbor_text,
-        "edges_hist_shrunk": _q_edges_hist_shrunk,
         "edges_cpm_per_doc": _q_edges_cpm,
         "table_rows_detected": _q_table_rows,
         "node_geom_nopage": _q_node_geom_nopage,
         "neighbor_class_mask": _q_neighbor_class_mask,
+        "box_cut_partition": _q_box_cuts,
         # --- fits (cross-document aggregations) ---
         "tfidf_vocab": _q_tfidf_vocab,
         "chi2_features": _q_chi2_features,
-        # --- text analysis ---
-        "token_count": lambda s, d: textstats.token_count(_docs(s, d)),
-        "language_id": lambda s, d: textstats.language_id(_docs(s, d)),
-        "quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
-        "fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
+        # --- text analysis (token count + lang-id + quality + fingerprint) ---
+        "textstats_all": _q_textstats_all,
         # --- dedup ---
         "exact_dedup": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
@@ -497,6 +566,55 @@ _NBR_MASK_SQL = f"""
 """
 _STOP_SQL = ", ".join(f"'{m}'" for m in textstats.EN_STOPWORDS)
 
+# Component SQL for the combined textstats_all oracle (token counting,
+# language-ID, quality scoring, fingerprinting — joined on doc_id).
+_TOKEN_COUNT_SQL = """
+    select doc_id,
+           len(string_split(text,' '))::bigint as n_tokens,
+           list_sum(list_transform(string_split(text,' '),
+                    t -> cast(ceil(length(t)/4.0) as int)))::bigint as n_subwords,
+           length(text)::bigint as n_chars_seen
+    from documents
+"""
+_LANGUAGE_ID_SQL = f"""
+    with t as (select doc_id, string_split(text,' ') toks from documents),
+    s as (select doc_id,
+          len(list_filter(toks, x -> x in ({_MARKER_SQL['de']})))::bigint s_de,
+          len(list_filter(toks, x -> x in ({_MARKER_SQL['en']})))::bigint s_en,
+          len(list_filter(toks, x -> x in ({_MARKER_SQL['fi']})))::bigint s_fi,
+          len(list_filter(toks, x -> x in ({_MARKER_SQL['fr']})))::bigint s_fr
+          from t),
+    x as (select doc_id, unnest([
+            {{'lang': 'de', 's': s_de}}, {{'lang': 'en', 's': s_en}},
+            {{'lang': 'fi', 's': s_fi}}, {{'lang': 'fr', 's': s_fr}}]) u from s),
+    r as (select doc_id, u.lang lang, u.s s,
+                 row_number() over (partition by doc_id order by u.s desc, u.lang asc) rn
+          from x)
+    select doc_id, lang as pred_lang, s::bigint as marker_hits from r where rn = 1
+"""
+_QUALITY_SQL = f"""
+    with t as (select doc_id, string_split(text,' ') toks from documents),
+    b as (select doc_id,
+          len(toks)::bigint n_tokens,
+          len(list_distinct(toks))::bigint n_distinct,
+          len(list_filter(toks, x -> x in ({_STOP_SQL})))::bigint n_stop,
+          round(list_sum(list_transform(toks, x -> length(x)))::double / len(toks), 6) mean_token_len
+          from t)
+    select doc_id, mean_token_len,
+           round(n_distinct::double / n_tokens, 6) type_token_ratio,
+           round(n_stop::double / n_tokens, 6) stopword_frac,
+           round((3 * least(n_tokens, 100) * n_tokens
+                  + 300 * n_distinct + 400 * n_stop)::double
+                 / (1000.0 * n_tokens), 6) quality
+    from b
+"""
+_FINGERPRINT_SQL = """
+    select doc_id, md5(text) md5_text,
+           md5(list_aggregate(list_sort(list_distinct(string_split(text,' '))),
+                              'string_agg', ' ')) md5_normalized
+    from documents
+"""
+
 _SHINGLE_CTE = """
 with docs as (select doc_id, string_split(text,' ') toks from documents),
 sh as (select doc_id, unnest(list_distinct(
@@ -552,9 +670,42 @@ def oracle_sql() -> dict[str, str]:
                    label
             from ordered
         """,
-        "edges_hist": f"select etype, count(*) n from {_t('edges')} where mode = 'g1' group by etype",
-        "edges_hist_g2": f"select etype, count(*) n from {_t('edges')} where mode = 'g2' group by etype",
-        "edges_hist_g1o": f"select etype, count(*) n from {_t('edges')} where mode = 'g1o' group by etype",
+        "edges_hist_modes": f"""
+            select mode, etype, count(*) n
+            from {_t('edges')} where mode in ('g1', 'g2', 'g1o', 'g1s')
+            group by mode, etype
+        """,
+        "cluster_hulls": f"""
+            select url, cluster_id::bigint cluster_id, n_nodes::bigint n_nodes,
+                   hull_points
+            from {_t('hulls')} where algo = 'cc'
+        """,
+        "extract_predicted_smoothed": f"""
+            select doc_id, n_chars_extracted::int n_chars_extracted
+            from {_t('pred_smoothed')}
+        """,
+        "box_cut_partition": f"""
+            with b as (select url, page_num, x1, y1, y2, node_id from {_t('nodes')}
+                       where kind = 'TextRegion'),
+            o as (select *,
+                         row_number() over (partition by url, page_num
+                                            order by y1, y2, x1, node_id) rn,
+                         max(y2) over (partition by url, page_num
+                                       order by y1, y2, x1, node_id
+                                       rows between unbounded preceding and 1 preceding) runmax
+                  from b),
+            g as (select url, page_num, rn - 1 n_above, (runmax + y1) / 2.0 cut_y
+                  from o where rn > 1 and y1 > runmax),
+            r as (select url, page_num,
+                         (row_number() over (partition by url, page_num order by cut_y) - 1) cut_idx,
+                         cut_y, n_above
+                  from g),
+            n as (select url, page_num, count(*) n_boxes from b group by url, page_num)
+            select r.url, cast(r.page_num as integer) page_num,
+                   cast(cut_idx as integer) cut_idx, cut_y,
+                   n_above::bigint n_above, (n_boxes - n_above)::bigint n_below
+            from r join n on n.url = r.url and n.page_num = r.page_num
+        """,
         "cluster_cc_oracle": f"""
             select url, n_clusters from {_t('clusters')} where algo = 'cc'
         """,
@@ -575,7 +726,6 @@ def oracle_sql() -> dict[str, str]:
             select etype, lcs2, count(*) n from {_t('edges')}
             where mode = 'g1' group by etype, lcs2
         """,
-        "edges_hist_shrunk": f"select etype, count(*) n from {_t('edges')} where mode = 'g1s' group by etype",
         "edges_cpm_per_doc": f"select url, count(*) n_cpm from {_t('edges')} where mode = 'cpm' group by url",
         "table_rows_detected": f"select table_id, n_rows::bigint n_rows, n_lines::bigint n_lines, row_f1 from {_t('tables')}",
         "node_geom_nopage": f"select * from {_t('geom_nopage')}",
@@ -604,60 +754,19 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": f"select query_id, vec_id, cosine, rank from {_t('ann_ivf')}",
         # --- documents-table oracles ---
         "extract_main_text": "select doc_id, text as extracted_text from documents",
-        "extract_via_json_source": (
-            "select doc_id, text as extracted_text from documents"
-        ),
-        "extract_via_writeback_roundtrip": (
-            "select doc_id, text as extracted_text from documents"
-        ),
-        "extract_via_dsxml_source": (
-            "select doc_id, text as extracted_text from documents"
-        ),
-        "token_count": """
-            select doc_id,
-                   len(string_split(text,' '))::bigint as n_tokens,
-                   list_sum(list_transform(string_split(text,' '),
-                            t -> cast(ceil(length(t)/4.0) as int)))::bigint as n_subwords,
-                   length(text)::bigint as n_chars_seen
-            from documents
+        "extract_via_sources": """
+            select doc_id, text as extracted_text, s.source
+            from documents, (select unnest(['json', 'dsxml', 'writeback']) source) s
         """,
-        "language_id": f"""
-            with t as (select doc_id, string_split(text,' ') toks from documents),
-            s as (select doc_id,
-                  len(list_filter(toks, x -> x in ({_MARKER_SQL['de']})))::bigint s_de,
-                  len(list_filter(toks, x -> x in ({_MARKER_SQL['en']})))::bigint s_en,
-                  len(list_filter(toks, x -> x in ({_MARKER_SQL['fi']})))::bigint s_fi,
-                  len(list_filter(toks, x -> x in ({_MARKER_SQL['fr']})))::bigint s_fr
-                  from t),
-            x as (select doc_id, unnest([
-                    {{'lang': 'de', 's': s_de}}, {{'lang': 'en', 's': s_en}},
-                    {{'lang': 'fi', 's': s_fi}}, {{'lang': 'fr', 's': s_fr}}]) u from s),
-            r as (select doc_id, u.lang lang, u.s s,
-                         row_number() over (partition by doc_id order by u.s desc, u.lang asc) rn
-                  from x)
-            select doc_id, lang as pred_lang, s::bigint as marker_hits from r where rn = 1
-        """,
-        "quality_score": f"""
-            with t as (select doc_id, string_split(text,' ') toks from documents),
-            b as (select doc_id,
-                  len(toks)::bigint n_tokens,
-                  len(list_distinct(toks))::bigint n_distinct,
-                  len(list_filter(toks, x -> x in ({_STOP_SQL})))::bigint n_stop,
-                  round(list_sum(list_transform(toks, x -> length(x)))::double / len(toks), 6) mean_token_len
-                  from t)
-            select doc_id, n_tokens, mean_token_len,
-                   round(n_distinct::double / n_tokens, 6) type_token_ratio,
-                   round(n_stop::double / n_tokens, 6) stopword_frac,
-                   round((3 * least(n_tokens, 100) * n_tokens
-                          + 300 * n_distinct + 400 * n_stop)::double
-                         / (1000.0 * n_tokens), 6) quality
-            from b
-        """,
-        "fingerprint": """
-            select doc_id, md5(text) md5_text,
-                   md5(list_aggregate(list_sort(list_distinct(string_split(text,' '))),
-                                      'string_agg', ' ')) md5_normalized
-            from documents
+        "textstats_all": f"""
+            select tc.doc_id, tc.n_tokens, tc.n_subwords, tc.n_chars_seen,
+                   li.pred_lang, li.marker_hits,
+                   qs.mean_token_len, qs.type_token_ratio, qs.stopword_frac, qs.quality,
+                   fp.md5_text, fp.md5_normalized
+            from ({_TOKEN_COUNT_SQL}) tc
+            join ({_LANGUAGE_ID_SQL}) li on li.doc_id = tc.doc_id
+            join ({_QUALITY_SQL}) qs on qs.doc_id = tc.doc_id
+            join ({_FINGERPRINT_SQL}) fp on fp.doc_id = tc.doc_id
         """,
         "tfidf_vocab": """
             with t as (select doc_id, lower(text) s, count(*) over () total

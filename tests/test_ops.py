@@ -42,6 +42,55 @@ def test_minhash_lsh_recall_vs_exact(docs):
     assert want == got  # verification stage makes LSH output == exact set
 
 
+def test_hot_shingle_guard_bounds_boilerplate_skew(spark):
+    """Boilerplate-heavy fixture: every doc shares the 'copyright all
+    rights reserved' shingles, two docs are true near-dups. The DF-cap
+    guard (on by default) must drop exactly the boilerplate shingles
+    (anti-join visible in the plan, candidate join bounded) while the
+    true pair — whose similarity comes from below-cap shingles —
+    survives with the same jaccard a local post-filter computation gives.
+    """
+    boiler = "copyright all rights reserved"
+    body = " ".join(f"x{j}" for j in range(20))
+    texts = {i: f"{boiler} u{i}a u{i}b u{i}c u{i}d" for i in range(40)}
+    texts[900] = f"{boiler} {body} same tail here"
+    texts[901] = f"{boiler} {body} same tail there"
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in sorted(texts.items())], "doc_id long, text string"
+    )
+    cap = 10
+
+    hot = dedup.hot_shingles(docs, max_shingle_df=cap).toPandas()
+    n_docs = len(texts)
+    assert set(hot.shingle) == {"copyright all rights", "all rights reserved"}
+    assert (hot["count"] == n_docs).all()
+
+    pairs = dedup.ngram_jaccard_pairs(docs, max_shingle_df=cap)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan  # the hot-key guard is a broadcast anti-join
+
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
+
+    # local reference with identical post-filter semantics
+    def sh3(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    allsh = {i: sh3(t) for i, t in texts.items()}
+    from collections import Counter
+    df_counts = Counter(s for ss in allsh.values() for s in ss)
+    kept = {i: {s for s in ss if df_counts[s] <= cap} for i, ss in allsh.items()}
+    import itertools
+    want = {}
+    for a, b in itertools.combinations(sorted(kept), 2):
+        inter = len(kept[a] & kept[b])
+        if inter:
+            j = inter / (len(kept[a]) + len(kept[b]) - inter)
+            if round(j, 6) >= 0.7:
+                want[(a, b)] = round(j, 6)
+    assert got == want
+    assert (900, 901) in got  # the true near-dup pair survives the guard
+
+
 def test_simhash_matches_duckdb(docs, duck):
     got = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
     rows = duck.execute(
@@ -119,6 +168,41 @@ def test_decode_real_is_stubbed(docs):
 
     with pytest.raises(NotImplementedError):
         decode_image_real(attach_media(docs))
+
+
+def test_adaptive_lsh_depth_rule():
+    """Locks the neardup_planes recall/volume rule (BENCH/LSH_DEPTH.md):
+    pinned depths at the measured thresholds, monotone in threshold,
+    analytic miss within target at the chosen depth, and the N-cap."""
+    import math
+
+    from transkribusdu_spark.ops.similarity import (
+        NEARDUP_MISS_TARGET,
+        NEARDUP_TABLES,
+        neardup_config,
+        neardup_planes,
+    )
+
+    # pinned values: 0.45/0.85 are the round-2 recall-measured configs
+    assert neardup_planes(0.45) == 3
+    assert neardup_planes(0.6) == 3
+    assert neardup_planes(0.7) == 4
+    assert neardup_planes(0.85) == 7
+    assert neardup_config(0.45) == (NEARDUP_TABLES, 3)
+    # monotone non-decreasing in threshold
+    depths = [neardup_planes(t / 100.0) for t in range(30, 96, 5)]
+    assert all(a <= b for a, b in zip(depths, depths[1:]))
+    # analytic miss at the chosen depth stays within target...
+    for t in (0.45, 0.6, 0.7, 0.85, 0.92):
+        p = 1.0 - math.acos(t) / math.pi
+        pl = neardup_planes(t)
+        miss = (1.0 - p**pl) ** NEARDUP_TABLES
+        assert miss <= NEARDUP_MISS_TARGET, (t, pl, miss)
+        # ...and one level deeper would overshoot (depth is maximal)
+        overshoot = (1.0 - p ** (pl + 1)) ** NEARDUP_TABLES
+        assert overshoot > NEARDUP_MISS_TARGET, (t, pl, overshoot)
+    # small corpora cap depth to keep buckets occupied
+    assert neardup_planes(0.9, n_vectors=128) <= 4
 
 
 def test_ivf_knn_recall(emb):

@@ -277,6 +277,146 @@ def agglo_count(node_ids: list[str], scored: list[tuple[str, str, float]]) -> in
 
 
 # ---------------------------------------------------------------------------
+# Convex hull truth (spec: util/Shape.py:50-99 cluster hulls) — Jarvis
+# march (gift wrapping), independent of the pipeline's monotone chain;
+# same output convention: strictly convex vertices, CCW cycle starting
+# at the lexicographically smallest point.
+# ---------------------------------------------------------------------------
+def jarvis_hull(points: list[tuple[float, float]]) -> list[tuple[float, float]]:
+    pts = sorted(set(points))
+    if len(pts) <= 2:
+        return pts
+    start = pts[0]
+    hull = [start]
+    cur = start
+    while True:
+        nxt = None
+        for cand in pts:
+            if cand == cur:
+                continue
+            if nxt is None:
+                nxt = cand
+                continue
+            # CCW hull: every point must lie LEFT of cur->next; a cand
+            # strictly right of cur->nxt (cross < 0) displaces nxt
+            cross = (nxt[0] - cur[0]) * (cand[1] - cur[1]) - (nxt[1] - cur[1]) * (cand[0] - cur[0])
+            if cross < 0:
+                nxt = cand
+            elif cross == 0:
+                # collinear: keep the farther point (drops interior
+                # collinear vertices, matching the strict-turn chain)
+                d_n = (nxt[0] - cur[0]) ** 2 + (nxt[1] - cur[1]) ** 2
+                d_c = (cand[0] - cur[0]) ** 2 + (cand[1] - cur[1]) ** 2
+                if d_c > d_n:
+                    nxt = cand
+        if nxt == start or nxt is None:
+            break
+        hull.append(nxt)
+        cur = nxt
+        if len(hull) > len(pts):  # safety
+            break
+    return hull
+
+
+# ---------------------------------------------------------------------------
+# Deterministic learned-extraction truth (spec: pipeline/model.py
+# fit_lda_params / predict_nodes_lda / fit_label_transitions /
+# viterbi_smooth + extract reading order). Everything derives from
+# exact integer sums, so this single-node mirror reproduces the
+# distributed output bit-for-bit.
+# ---------------------------------------------------------------------------
+def lda_fit_truth(region_rows: list[dict]) -> tuple[list[float], float]:
+    import math
+
+    feats = []
+    ys = []
+    for r in region_rows:
+        t = r["text"] or ""
+        feats.append([float(len(t)), float(t.count(" ")),
+                      r["x2"] - r["x1"], r["y2"] - r["y1"]])
+        ys.append(1 if r["label"] in MAIN else 0)
+    X = np.asarray(feats, dtype=np.float64)
+    y = np.asarray(ys)
+    n0, n1 = float((y == 0).sum()), float((y == 1).sum())
+    ws, mid = [], []
+    for f in range(X.shape[1]):
+        col = X[:, f]
+        s0, s1 = float(col[y == 0].sum()), float(col[y == 1].sum())
+        q = float((col * col).sum())
+        mu0, mu1 = s0 / n0, s1 / n1
+        var = (q - s0 * mu0 - s1 * mu1) / (n0 + n1 - 2.0) + 1.0
+        ws.append((mu1 - mu0) / var)
+        mid.append((mu0 + mu1) / 2.0)
+    b = math.log(n1 / n0)
+    for w, m in zip(ws, mid):
+        b = b - w * m
+    return ws, b
+
+
+def transitions_truth(docs_regions: dict[str, list[dict]]) -> np.ndarray:
+    counts = np.ones((2, 2))
+    for url in docs_regions:
+        rs = sorted(docs_regions[url], key=lambda r: (r["page_num"], r["y1"], r["x1"], r["node_id"]))
+        cs = [1 if r["label"] in MAIN else 0 for r in rs]
+        for a, bb in zip(cs, cs[1:]):
+            counts[a, bb] += 1
+    return np.log(counts / counts.sum(axis=1, keepdims=True))
+
+
+def viterbi_truth(log_emit: np.ndarray, log_trans: np.ndarray) -> list[int]:
+    """Loop-form DP; ties resolve to the smallest state index (the
+    first-maximum rule), independent of the pipeline's vectorized form."""
+    T_, K = log_emit.shape
+    delta = [float(log_emit[0, k]) for k in range(K)]
+    back = [[0] * K for _ in range(T_)]
+    for t in range(1, T_):
+        nxt = []
+        for k in range(K):
+            best, arg = None, 0
+            for kp in range(K):
+                v = delta[kp] + float(log_trans[kp, k])
+                if best is None or v > best:
+                    best, arg = v, kp
+            back[t][k] = arg
+            nxt.append(best + float(log_emit[t, k]))
+        delta = nxt
+    last, bestv = 0, None
+    for k in range(K):
+        if bestv is None or delta[k] > bestv:
+            bestv, last = delta[k], k
+    path = [0] * T_
+    path[-1] = last
+    for t in range(T_ - 2, -1, -1):
+        path[t] = back[t + 1][path[t + 1]]
+    return path
+
+
+def pred_smoothed_truth(docs_regions: dict[str, list[dict]],
+                        doc_id_of: dict[str, int]) -> list[dict]:
+    all_regions = [r for rs in docs_regions.values() for r in rs]
+    ws, b = lda_fit_truth(all_regions)
+    log_trans = transitions_truth(docs_regions)
+    out = []
+    for url, rs in docs_regions.items():
+        rs = sorted(rs, key=lambda r: (r["page_num"], r["y1"], r["x1"], r["node_id"]))
+        t_ = [(r["text"] or "") for r in rs]
+        f0 = np.array([float(len(s)) for s in t_])
+        f1 = np.array([float(s.count(" ")) for s in t_])
+        f2 = np.array([r["x2"] - r["x1"] for r in rs], dtype=np.float64)
+        f3 = np.array([r["y2"] - r["y1"] for r in rs], dtype=np.float64)
+        z = f0 * ws[0] + f1 * ws[1] + f2 * ws[2] + f3 * ws[3] + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        proba = np.stack([1.0 - p, p], axis=1)
+        log_emit = np.log(np.clip(proba, 1e-9, 1.0))
+        path = viterbi_truth(log_emit, log_trans)
+        main_txt = [s for s, k in zip(t_, path) if k == 1]
+        if main_txt:
+            out.append({"doc_id": doc_id_of[url],
+                        "n_chars_extracted": len(" ".join(main_txt))})
+    return out
+
+
+# ---------------------------------------------------------------------------
 # BIESO row tagging truth (spec: tasks/DU_Table/DU_ABPTable.py:61).
 # ---------------------------------------------------------------------------
 def bieso_truth(lines: list[dict], min_gap: float = 10.0) -> list[tuple[str, str]]:
@@ -469,6 +609,9 @@ def generate(sf_dir: str, out_dir: str) -> dict:
     geom_rows: list[dict] = []
     dual_rows: list[dict] = []
     bieso_rows: list[dict] = []
+    hull_rows: list[dict] = []
+    docs_regions: dict[str, list[dict]] = {}
+    doc_id_of: dict[str, int] = {}
     for rec in docs.sort_values("doc_id").itertuples():
         plan = plan_doc(int(rec.doc_id), rec.text, rec.lang)
         url = plan["url"]
@@ -597,11 +740,29 @@ def generate(sf_dir: str, out_dir: str) -> dict:
         # clusters over oracle-scored g1 edges
         nids = [r["node_id"] for r in regions]
         same = [(s, d) for _, s, d in g1_edges if label_of[s] == label_of[d]]
-        n_cc = len(components(nids, same))
+        comps = components(nids, same)
+        n_cc = len(comps)
         scored = [(s, d, 1.0 if label_of[s] == label_of[d] else 0.0) for _, s, d in g1_edges]
         n_agglo = agglo_count(nids, scored)
         cluster_rows.append({"url": url, "algo": "cc", "n_clusters": n_cc})
         cluster_rows.append({"url": url, "algo": "agglo", "n_clusters": n_agglo})
+        # C4 cluster hulls (cc clusters; hull of member box corners)
+        box_of = {r["node_id"]: (r["x1"], r["y1"], r["x2"], r["y2"]) for r in regions}
+        for ci, members in enumerate(comps):
+            pts: list[tuple[float, float]] = []
+            for nid in members:
+                bx1, by1, bx2, by2 = box_of[nid]
+                pts += [(bx1, by1), (bx2, by1), (bx2, by2), (bx1, by2)]
+            hull = jarvis_hull(pts)
+            hull_rows.append(
+                {
+                    "url": url, "cluster_id": ci, "algo": "cc",
+                    "n_nodes": len(members),
+                    "hull_points": " ".join(f"{int(x)},{int(y)}" for x, y in hull),
+                }
+            )
+        docs_regions[url] = regions
+        doc_id_of[url] = int(rec.doc_id)
         # dual graph size: sum over endpoints of C(deg, 2)
         deg: dict[str, int] = {}
         for _, s, d in g1_edges:
@@ -639,6 +800,10 @@ def generate(sf_dir: str, out_dir: str) -> dict:
     pd.DataFrame(dual_rows).to_parquet(os.path.join(out_dir, "dual.parquet"), index=False)
     pd.DataFrame(bieso_rows).to_parquet(os.path.join(out_dir, "bieso.parquet"), index=False)
     pd.DataFrame(geom_rows).to_parquet(os.path.join(out_dir, "geom_nopage.parquet"), index=False)
+    pd.DataFrame(hull_rows).to_parquet(os.path.join(out_dir, "hulls.parquet"), index=False)
+    pd.DataFrame(pred_smoothed_truth(docs_regions, doc_id_of)).to_parquet(
+        os.path.join(out_dir, "pred_smoothed.parquet"), index=False
+    )
     region_rows = [r for r in node_rows if r["kind"] == "TextRegion"]
     chi2_truth(region_rows).to_parquet(os.path.join(out_dir, "chi2.parquet"), index=False)
     emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))

@@ -30,7 +30,9 @@ class BoxPartition:
         hi = np.minimum(self.x2, xb)
         ok = hi >= lo
         if xb == xa:
-            f_lo = f_hi = np.full_like(lo, ya)
+            # vertical segment: it spans [min(ya,yb), max(ya,yb)] at x=xa
+            f_lo = np.full_like(lo, min(ya, yb))
+            f_hi = np.full_like(lo, max(ya, yb))
         else:
             slope = (yb - ya) / (xb - xa)
             f_lo = ya + slope * (lo - xa)
@@ -70,3 +72,62 @@ class BoxPartition:
     def right_of_line(self, xa, ya, xb, yb) -> tuple[int, ...]:
         t = BoxPartition(np.stack([self.y1, self.x1, self.y2, self.x2], axis=1))
         return t.below_line(ya, xa, yb, xb)
+
+
+def page_cut_rows(boxes: list[tuple[float, float, float, float]], page_w: float) -> list[dict]:
+    """All valid full-width horizontal cuts for one page's boxes, via the
+    C8 partition queries: candidate cut y = midpoint of every gap in the
+    running union of y-intervals (sort by y1, running max y2), validated
+    with :meth:`BoxPartition.is_valid_cut`, and the partition counted
+    with :meth:`above_line` / :meth:`below_line`. Deterministic; the
+    DuckDB oracle reproduces it with a window-function gap scan."""
+    bs = sorted(boxes, key=lambda b: (b[1], b[3], b[0]))  # by y1, y2, x1
+    bp = BoxPartition([(b[0], b[1], b[2], b[3]) for b in bs])
+    out: list[dict] = []
+    runmax = None
+    for i, b in enumerate(bs):
+        if i > 0 and b[1] > runmax:
+            cut_y = (runmax + b[1]) / 2.0
+            if not bp.is_valid_cut(0.0, cut_y, page_w, cut_y):
+                raise AssertionError(f"gap midpoint {cut_y} not a valid cut")
+            out.append(
+                {
+                    "cut_idx": len(out),
+                    "cut_y": cut_y,
+                    "n_above": len(bp.above_line(0.0, cut_y, page_w, cut_y)),
+                    "n_below": len(bp.below_line(0.0, cut_y, page_w, cut_y)),
+                }
+            )
+        runmax = b[3] if runmax is None else max(runmax, b[3])
+    return out
+
+
+def valid_horizontal_cuts(nodes) -> "DataFrame":  # noqa: F821
+    """C8 as a distributed query: per (url, page) the valid full-width
+    horizontal cuts with their half-plane partition sizes. Same
+    one-shuffle applyInPandas shape as the edge builder."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("page_num", T.IntegerType()),
+            T.StructField("cut_idx", T.IntegerType()),
+            T.StructField("cut_y", T.DoubleType()),
+            T.StructField("n_above", T.LongType()),
+            T.StructField("n_below", T.LongType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows: list[dict] = []
+        for (url, pnum), g in pdf.groupby(["url", "page_num"]):
+            pw = float(g["page_w"].iloc[0])
+            boxes = list(zip(g["x1"], g["y1"], g["x2"], g["y2"]))
+            for r in page_cut_rows(boxes, pw):
+                rows.append({"url": url, "page_num": int(pnum), **r})
+        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    src = nodes.select("url", "page_num", "page_w", "x1", "y1", "x2", "y2")
+    return src.groupBy("url").applyInPandas(run, schema=schema)

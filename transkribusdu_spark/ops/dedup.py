@@ -61,20 +61,47 @@ def _shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
+# Default hot-key guard: a shingle in more than this many documents is
+# boilerplate ("all rights reserved ...") and would make the shingle
+# self-join quadratic in its DF (10^6 docs sharing one shingle = 10^12
+# join rows). 1000 is far above any true near-dup cluster size yet
+# bounds the join at cap^2 rows per hot shingle.
+MAX_SHINGLE_DF = 1000
+
+
+def hot_shingles(docs: DataFrame, n: int = SHINGLE_N,
+                 max_shingle_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Audit channel for the hot-key guard: (shingle, count) rows that
+    :func:`ngram_jaccard_pairs` drops before its self-join. Run this to
+    quantify truncation — the guard is never silent."""
+    sh = _shingles(docs, n)
+    return sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = JACCARD_THRESHOLD, n: int = SHINGLE_N,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = MAX_SHINGLE_DF, log_dropped: bool = False,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similar pairs (doc_a < doc_b).
 
     Inverted-index formulation: |A∩B| from a self-equi-join on shingle,
-    set sizes from a groupBy — never an all-pairs cross join. At scale,
-    ``max_shingle_df`` drops shingles appearing in more than k documents
-    (boilerplate) before the join, the standard hot-key guard.
+    set sizes from a groupBy — never an all-pairs cross join.
+    ``max_shingle_df`` (ON by default) drops shingles appearing in more
+    than k documents (boilerplate) before the join — the standard
+    hot-key guard; set sizes are computed AFTER the drop so jaccard
+    stays a consistent set measure. Audit what was dropped with
+    :func:`hot_shingles` (same predicate); ``log_dropped=True`` also
+    counts and prints the dropped shingles eagerly (one extra job).
+    Pass ``max_shingle_df=None`` to disable.
     """
     sh = _shingles(docs, n)
     if max_shingle_df:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
+        if log_dropped:
+            n_hot = hot.count()
+            if n_hot:
+                print(f"ngram_jaccard_pairs: hot-shingle guard dropped {n_hot} "
+                      f"shingles with df > {max_shingle_df}")
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -97,8 +124,21 @@ def ngram_jaccard_pairs(
     )
 
 
-# token-trio mixing constants for the shingle base hash (odd, < 2^31-1)
+# token mixing constants for the shingle base hash (odd, < 2^31-1).
+# The first 3 are the pinned trigram constants (signatures for n=3 are
+# bit-stable across rounds); positions beyond 3 extend the family
+# deterministically so any shingle width hashes with its own constant.
 _TRIO_K = (0x1000193, 0x85EBCA77 % MERSENNE_P, 0xC2B2AE3D % MERSENNE_P)
+
+
+def _mix_constants(n: int) -> tuple[int, ...]:
+    if n <= len(_TRIO_K):
+        return _TRIO_K[:n]
+    extra = tuple(
+        ((0x9E3779B97F4A7C15 * (2 * i + 1)) % MERSENNE_P) | 1
+        for i in range(len(_TRIO_K), n)
+    )
+    return _TRIO_K + extra
 
 
 def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
@@ -126,7 +166,7 @@ def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
 
     A = np.array(_PERM_A, dtype=np.int64)[:, None]
     B = np.array(_PERM_B, dtype=np.int64)[:, None]
-    k0, k1, k2 = _TRIO_K
+    ks = _mix_constants(n)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -143,7 +183,12 @@ def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
                         h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) % MERSENNE_P
                         memo[t] = h
                     th[i] = h
-                sh = (th[:-2] * k0 + th[1:-1] * k1 + th[2:] * k2) % MERSENNE_P
+                # n-gram mix: sum_j k_j * th[j : len-n+1+j], mod p each
+                # step so partial sums stay < 2^62 under ANSI int64
+                m = len(toks) - n + 1
+                sh = np.zeros(m, dtype=np.int64)
+                for j, kj in enumerate(ks):
+                    sh = (sh + th[j : j + m] * kj) % MERSENNE_P
                 sh = np.unique(sh)  # distinct shingles (trio-hash level)
                 sig = ((A * sh[None, :] + B) % MERSENNE_P).min(axis=1)
                 ids.append(doc_id)
@@ -319,34 +364,16 @@ def _cosine(a, b):
 def embedding_near_dups(embeddings: DataFrame, threshold: float = COSINE_DUP_THRESHOLD) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b).
 
-    Scale shape: candidate pairs come from random-hyperplane LSH buckets
-    (``ops/similarity.lsh_candidate_pairs``: 24 tables x 3 planes — the
-    per-bucket equi-join, never an all-pairs cross join), then the exact
-    cosine verifies candidates only. Recall at the 0.45 threshold is
+    Scale shape: random-hyperplane LSH buckets (24 tables x 3 planes —
+    never an all-pairs cross join) with exact verification FUSED per
+    bucket as one BLAS matmul (``ops/similarity.
+    lsh_bucket_verified_pairs``) — vectors cross the Arrow boundary once
+    per table, pair rows carry scalars only. Recall at the 0.45 threshold is
     ~1 - 5e-4 per pair analytically; measured 100% of brute-force pairs
     at sf0.001/sf0.01/sf0.1 (locked by tests/test_ops.py) — the same
     verified-empirical contract the MinHash-LSH path carries.
     """
-    from .similarity import lsh_candidate_pairs, neardup_config
+    from .similarity import lsh_bucket_verified_pairs, neardup_config
 
     n_tables, n_planes = neardup_config(threshold)
-    e = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("n", _norm(F.col("v")))  # norms once per vector, not per pair
-    cand = lsh_candidate_pairs(embeddings, n_tables=n_tables, n_planes=n_planes)
-    return (
-        cand.join(
-            e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")),
-            "vec_a",
-        )
-        .join(
-            e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb")),
-            "vec_b",
-        )
-        .withColumn(
-            "cosine",
-            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "cosine")
-    )
+    return lsh_bucket_verified_pairs(embeddings, threshold, n_tables, n_planes)

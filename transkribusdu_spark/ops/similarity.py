@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import SEED
-from .dedup import _cosine
 
 # 16 tables x 4 planes (16 buckets/table): for a neighbour at cosine
 # ~0.4 (angle ~66deg, per-plane agreement ~0.63) detection =
@@ -50,9 +49,49 @@ NEARDUP_PLANES = 3
 NEARDUP_DEEP_PLANES = 7
 
 
-def neardup_config(threshold: float) -> tuple[int, int]:
-    """(n_tables, n_planes) for a target cosine threshold."""
-    return (NEARDUP_TABLES, NEARDUP_DEEP_PLANES if threshold >= 0.6 else NEARDUP_PLANES)
+NEARDUP_MISS_TARGET = 1e-3
+
+
+def neardup_planes(
+    threshold: float,
+    n_tables: int = NEARDUP_TABLES,
+    miss_target: float = NEARDUP_MISS_TARGET,
+    n_vectors: int | None = None,
+) -> int:
+    """Adaptive LSH depth: the DEEPEST plane count whose per-pair miss
+    probability at the target cosine stays within ``miss_target``.
+
+    For random hyperplanes, a pair at cosine t agrees on one plane with
+    p = 1 - acos(t)/pi; with P planes and T tables,
+    miss = (1 - p^P)^T. Solving miss <= miss_target for the largest P:
+    P = floor( ln(1 - miss_target^(1/T)) / ln(p) ). Candidate volume
+    scales as T * N^2 / 2^P, so depth is the whole recall/volume
+    tradeoff — this rule makes it explicit instead of a hard-coded
+    two-regime split (the round-2 shape used P=7 for every threshold
+    >= 0.6, which at exactly 0.6 would miss ~12% of threshold pairs).
+    Measured curve: BENCH/LSH_DEPTH.md (locked by tests/test_ops.py).
+
+    ``n_vectors`` caps depth so expected bucket occupancy stays >= 8 —
+    deeper hashes on a small corpus only add empty buckets.
+    """
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    if p <= 0.0 or p >= 1.0:
+        return 1
+    req = 1.0 - miss_target ** (1.0 / n_tables)
+    planes = int(math.floor(math.log(req) / math.log(p)))
+    planes = max(planes, 1)
+    if n_vectors:
+        planes = min(planes, max(1, int(math.log2(max(n_vectors, 16) / 8.0))))
+    return planes
+
+
+def neardup_config(threshold: float, n_vectors: int | None = None) -> tuple[int, int]:
+    """(n_tables, n_planes) for a target cosine threshold. Depth comes
+    from the adaptive rule; 0.45 -> 3 planes and 0.85 -> 7 planes keep
+    the round-2 recall-measured configurations exactly."""
+    return (NEARDUP_TABLES, neardup_planes(threshold, n_vectors=n_vectors))
 
 IVF_CELLS = 16
 IVF_PROBE = 4
@@ -61,6 +100,37 @@ IVF_ITERS = 3
 
 def embeddings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def cosine_pairs_udf():
+    """Exact pairwise cosine of two array<double> columns as ONE Arrow
+    kernel per batch: row-wise einsum dots + norms over stacked (n x d)
+    matrices. This is the exact-verification stage behind every ANN /
+    near-dup candidate set — replacing the per-candidate interpreted
+    Catalyst HOF fold (``dedup._dot``), which is ~100x slower for
+    many-dot workloads (same measurement that motivated
+    ``_buckets_udf``).
+
+    Value safety: numpy pairwise summation and the left fold can differ
+    only by ~1e-15 relative noise; callers round to 6 decimals with JVM
+    ``F.round`` AFTER this kernel (never inside it), so Spark's
+    HALF_UP-on-shortest-repr semantics are preserved bit-for-bit, and
+    the sidecar/DuckDB oracles stay hash-green (locked by
+    tests + tools/check_oracles.py).
+    """
+
+    @F.pandas_udf("double")
+    def f(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if not len(va):
+            return pd.Series([], dtype="float64")
+        ma = np.stack([np.asarray(x, dtype=np.float64) for x in va])
+        mb = np.stack([np.asarray(x, dtype=np.float64) for x in vb])
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+        return pd.Series(dots / (na * nb))
+
+    return f
 
 
 def knn_bruteforce(
@@ -75,7 +145,7 @@ def knn_bruteforce(
     j = queries.crossJoin(base)
     if not include_self:
         j = j.filter(F.col("query_id") != F.col("vec_id"))
-    j = j.withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("v")), 6))
+    j = j.withColumn("cosine", F.round(cosine_pairs_udf()(F.col("qv"), F.col("v")), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         j.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -159,6 +229,25 @@ def _explode_buckets(df: DataFrame, vcol: str, id_cols: list[str], planes: np.nd
     )
 
 
+def _cells_udf(cents: list[list[float]]):
+    """argmin-cell assignment for a batch of vectors in one Arrow kernel:
+    squared L2 to every broadcast centroid via (n x k x d) numpy
+    broadcasting, ``np.argmin`` ties -> smallest index (same tie rule as
+    the struct-array_min fold form ``_cell_expr``, kept below as the
+    semantics reference). Replaces k*d interpreted fold ops per row."""
+    c = np.asarray(cents, dtype=np.float64)  # (k, d)
+
+    @F.pandas_udf("int")
+    def f(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="int32")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return f
+
+
 def _sqdist_expr(vcol, center: list[float]):
     """Fold-ordered squared L2 distance to a broadcast centroid literal
     (left fold over dims, same order as the truth-side mirror)."""
@@ -197,14 +286,14 @@ def ivf_fit(
     cents = [list(r.v) for r in init]
     dim = len(cents[0])
     for _ in range(n_iters):
-        assigned = base.withColumn("cell", _cell_expr(F.col("v"), cents))
+        assigned = base.withColumn("cell", _cells_udf(cents)(F.col("v")))
         aggs = assigned.groupBy("cell").agg(
             F.count("*").alias("n"),
             *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)],
         ).collect()
         for r in aggs:
             cents[r["cell"]] = [round(r[f"s{i}"] / r["n"], 6) for i in range(dim)]
-    assigned = base.withColumn("cell", _cell_expr(F.col("v"), cents))
+    assigned = base.withColumn("cell", _cells_udf(cents)(F.col("v")))
     return cents, assigned
 
 
@@ -232,20 +321,71 @@ def ivf_knn(
             F.transform(F.slice(F.array_sort(dist_structs), 1, n_probe), lambda s: s["ci"])
         ),
     )
-    from .dedup import _dot, _norm
-
-    cand = probe.withColumn("qn", _norm(F.col("qv"))).join(
-        assigned.withColumn("vn", _norm(F.col("v"))), "cell"
-    ).filter(F.col("query_id") != F.col("vec_id"))
+    cand = probe.join(assigned, "cell").filter(F.col("query_id") != F.col("vec_id"))
     scored = cand.withColumn(
-        "cosine",
-        F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn")), 6),
+        "cosine", F.round(cosine_pairs_udf()(F.col("qv"), F.col("v")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def lsh_bucket_verified_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    n_tables: int = NEARDUP_TABLES,
+    n_planes: int = NEARDUP_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-dup candidate generation AND exact verification fused per
+    LSH bucket: the members of each (table, bucket) group are verified
+    with ONE BLAS matmul (m x d @ d x m), so vectors cross the
+    JVM->Arrow boundary once per table — never once per candidate pair
+    — and the pair stream carries scalars only. This is the 100 TB
+    verify shape: candidate-pair volume never materializes as array
+    traffic, and the per-dot cost is BLAS, not an interpreted fold
+    (measured: the per-pair kernel at 50k docs spent ~3 min in per-row
+    Arrow conversion; this shape is seconds).
+
+    The kernel pre-filters at (threshold - 1e-6); the exact >= threshold
+    cut happens AFTER JVM ``F.round(6)`` so the rounding semantics match
+    the fold form and the DuckDB oracle bit-for-bit (F.round can move a
+    value by at most 5e-7, inside the guard). Pairs surviving in several
+    tables dedup via groupBy-max on the rounded score."""
+    planes = _neardup_hyperplanes(dim, n_tables, n_planes)
+    base = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    b_rows = base.select(
+        "vec_id", "v", F.posexplode(_buckets_udf(planes)(F.col("v"))).alias("tbl", "bkt")
+    )
+    guard = float(threshold) - 1e-6
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"].to_numpy()[order]])
+        nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
+        S = (M @ M.T) / np.outer(nrm, nrm)
+        ia, ib = np.triu_indices(m, 1)  # ids sorted -> vec_a < vec_b
+        vals = S[ia, ib]
+        keep = vals >= guard
+        return pd.DataFrame(
+            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]], "cosine": vals[keep]}
+        )
+
+    pairs = b_rows.groupBy("tbl", "bkt").applyInPandas(
+        verify, "vec_a long, vec_b long, cosine double"
+    )
+    return (
+        pairs.withColumn("cosine", F.round("cosine", 6))
+        .filter(F.col("cosine") >= threshold)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cosine").alias("cosine"))
     )
 
 
@@ -278,33 +418,50 @@ def ann_lsh(
     buckets), exact cosine re-rank within the union of matching buckets.
 
     One shuffle on (table, bucket); candidate set is ~N/16 per table —
-    at 100 TB this replaces the full scan per query. The multi-table
-    dedup is on (query_id, vec_id) ONLY; vectors are re-joined after,
-    so the distinct shuffle never carries the float arrays.
+    at 100 TB this replaces the full scan per query. Exact re-rank is
+    fused into the bucket group: a cogrouped (Q_b x d) @ (d x m_b) BLAS
+    matmul per bucket scores every query-member pair at once, so float
+    arrays cross the Arrow boundary once per table — the scored-pair
+    stream and the multi-table dedup (groupBy-max on the JVM-rounded
+    score, equal across tables) carry scalars only.
     """
-    from .dedup import _dot, _norm
-
     planes = _hyperplanes(dim)
     base = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    b_rows = _explode_buckets(base, "v", ["vec_id"], planes)
-    q_rows = _explode_buckets(queries, "qv", ["query_id"], planes)
-    cand_ids = (
-        q_rows.join(b_rows, ["tbl", "bkt"])
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .select("query_id", "vec_id")
-        .distinct()
+    b_rows = base.select(
+        "vec_id", "v", F.posexplode(_buckets_udf(planes)(F.col("v"))).alias("tbl", "bkt")
     )
-    # norms once per vector/query; only the pair dot runs per candidate
-    base_n = base.withColumn("vn", _norm(F.col("v")))
-    q_n = queries.select("query_id", "qv").withColumn("qn", _norm(F.col("qv")))
-    cand = cand_ids.join(q_n, "query_id").join(base_n, "vec_id")
-    scored = cand.withColumn(
-        "cosine",
-        F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn")), 6),
+    q_rows = queries.select(
+        "query_id", "qv", F.posexplode(_buckets_udf(planes)(F.col("qv"))).alias("tbl", "bkt")
+    )
+
+    def score(key, qs: pd.DataFrame, ms: pd.DataFrame) -> pd.DataFrame:
+        if not len(qs) or not len(ms):
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
+        Q = np.stack([np.asarray(x, dtype=np.float64) for x in qs["qv"]])
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in ms["v"]])
+        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+        mn = np.sqrt(np.einsum("ij,ij->i", M, M))
+        S = (Q @ M.T) / np.outer(qn, mn)
+        qid = np.repeat(qs["query_id"].to_numpy(), len(ms))
+        vid = np.tile(ms["vec_id"].to_numpy(), len(qs))
+        keep = qid != vid
+        return pd.DataFrame(
+            {"query_id": qid[keep], "vec_id": vid[keep], "cosine": S.ravel()[keep]}
+        )
+
+    scored = (
+        q_rows.groupBy("tbl", "bkt")
+        .cogroup(b_rows.groupBy("tbl", "bkt"))
+        .applyInPandas(score, "query_id long, vec_id long, cosine double")
+    )
+    dedup = (
+        scored.withColumn("cosine", F.round("cosine", 6))
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        dedup.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )

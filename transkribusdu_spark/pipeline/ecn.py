@@ -289,6 +289,7 @@ def train_ecn(
     tune_epoch_latency: bool = True,
     n_etypes: int = 0,
     arch: str = "ecn",
+    n_heads: int = 1,
 ) -> dict:
     """Fit ECN weights by distributed full-batch Adam.
 
@@ -313,8 +314,8 @@ def train_ecn(
     main = tuple(main_labels) if main_labels is not None else MAIN_CONTENT_LABELS
     n_features, n_classes = len(feature_cols), len(classes)
     if arch == "gat":
-        shapes = _gat_shapes(n_features, n_hidden, n_classes, n_layers)
-        theta = _gat_flatten(gat_init(n_features, n_hidden, n_classes, n_layers, seed))
+        shapes = _gat_shapes(n_features, n_hidden, n_classes, n_layers, n_heads)
+        theta = _gat_flatten(gat_init(n_features, n_hidden, n_classes, n_layers, seed, n_heads))
     else:
         shapes = _shapes(n_features, n_hidden, n_classes, n_layers, n_etypes)
         theta = _flatten(init_weights(n_features, n_hidden, n_classes, n_layers, seed, n_etypes))
@@ -352,22 +353,22 @@ def train_ecn(
         theta = _train_loop(
             theta, shapes, n_params, nf_rows, e_rows, feature_cols,
             epochs, lr, m, v, b1, b2, eps, grad_schema, verbose, scaler,
-            n_layers, n_etypes, arch,
+            n_layers, n_etypes, arch, n_heads,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
         nf_rows.unpersist()
         e_rows.unpersist()
-    unf = (lambda th: _gat_unflatten(th, shapes)) if arch == "gat" else (
+    unf = (lambda th: _gat_unflatten(th, shapes, n_heads)) if arch == "gat" else (
         lambda th: _unflatten(th, shapes, n_layers, n_etypes))
     return dict(unf(theta), **scaler)
 
 
 def _train_loop(theta, shapes, n_params, nf_rows, e_rows, feature_cols,
                 epochs, lr, m, v, b1, b2, eps, grad_schema, verbose, scaler,
-                n_layers, n_etypes, arch="ecn"):
+                n_layers, n_etypes, arch="ecn", n_heads=1):
     grad_fn = _gat_doc_grad if arch == "gat" else _doc_grad
-    unf = (lambda th: _gat_unflatten(th, shapes)) if arch == "gat" else (
+    unf = (lambda th: _gat_unflatten(th, shapes, n_heads)) if arch == "gat" else (
         lambda th: _unflatten(th, shapes, n_layers, n_etypes))
     for t in range(1, epochs + 1):
         weights = dict(unf(theta), **scaler)
@@ -434,51 +435,91 @@ _LRELU_SLOPE = 0.2
 
 
 def gat_init(n_features: int, n_hidden: int, n_classes: int,
-             n_layers: int = 2, seed: int = 42) -> dict:
-    rng = np.random.default_rng([seed, 5, n_features, n_hidden, n_classes])
+             n_layers: int = 2, seed: int = 42, n_heads: int = 1) -> dict:
+    """``n_heads > 1`` = multi-head attention (reference GAT concatenates
+    per-head outputs, ``gcn/gcn_models.py:1795-2528``): each layer holds
+    n_heads independent (W, a1, a2) triples with head width
+    n_hidden // n_heads; layer output is the concat (width n_hidden).
+    Single-head keeps the round-2 parameter layout and RNG stream."""
+    if n_heads == 1:
+        rng = np.random.default_rng([seed, 5, n_features, n_hidden, n_classes])
+        dims = [n_features] + [n_hidden] * n_layers
+        ws, a1s, a2s = [], [], []
+        for i in range(n_layers):
+            lim = float(np.sqrt(6.0 / (dims[i] + dims[i + 1])))
+            ws.append(rng.uniform(-lim, lim, size=(dims[i], dims[i + 1])).tolist())
+            a1s.append(rng.uniform(-lim, lim, size=(dims[i + 1], 1)).tolist())
+            a2s.append(rng.uniform(-lim, lim, size=(dims[i + 1], 1)).tolist())
+        lim = float(np.sqrt(6.0 / (dims[-1] + n_classes)))
+        w_out = rng.uniform(-lim, lim, size=(dims[-1], n_classes)).tolist()
+        return {"gat_ws": ws, "gat_a1": a1s, "gat_a2": a2s, "w_out": w_out}
+    assert n_hidden % n_heads == 0, "n_hidden must split evenly across heads"
+    dh = n_hidden // n_heads
+    rng = np.random.default_rng([seed, 5, n_features, n_hidden, n_classes, n_heads])
     dims = [n_features] + [n_hidden] * n_layers
     ws, a1s, a2s = [], [], []
     for i in range(n_layers):
-        lim = float(np.sqrt(6.0 / (dims[i] + dims[i + 1])))
-        ws.append(rng.uniform(-lim, lim, size=(dims[i], dims[i + 1])).tolist())
-        a1s.append(rng.uniform(-lim, lim, size=(dims[i + 1], 1)).tolist())
-        a2s.append(rng.uniform(-lim, lim, size=(dims[i + 1], 1)).tolist())
+        lim = float(np.sqrt(6.0 / (dims[i] + dh)))
+        ws.append([rng.uniform(-lim, lim, size=(dims[i], dh)).tolist() for _ in range(n_heads)])
+        a1s.append([rng.uniform(-lim, lim, size=(dh, 1)).tolist() for _ in range(n_heads)])
+        a2s.append([rng.uniform(-lim, lim, size=(dh, 1)).tolist() for _ in range(n_heads)])
     lim = float(np.sqrt(6.0 / (dims[-1] + n_classes)))
     w_out = rng.uniform(-lim, lim, size=(dims[-1], n_classes)).tolist()
     return {"gat_ws": ws, "gat_a1": a1s, "gat_a2": a2s, "w_out": w_out}
 
 
-def _gat_shapes(n_features: int, n_hidden: int, n_classes: int, n_layers: int):
+def _gat_shapes(n_features: int, n_hidden: int, n_classes: int, n_layers: int,
+                n_heads: int = 1):
+    dh = n_hidden // n_heads
     dims = [n_features] + [n_hidden] * n_layers
     out = []
     for i in range(n_layers):
-        out += [(dims[i], dims[i + 1]), (dims[i + 1], 1), (dims[i + 1], 1)]
+        for _ in range(n_heads):
+            out += [(dims[i], dh), (dh, 1), (dh, 1)]
     out.append((dims[-1], n_classes))
     return out
+
+
+def _gat_layer_params(weights: dict, li: int):
+    """Per-layer (W, a1, a2) with an explicit head axis; single-head
+    weights (2-D matrices) get a length-1 head axis."""
+    w = np.asarray(weights["gat_ws"][li])
+    a1 = np.asarray(weights["gat_a1"][li])
+    a2 = np.asarray(weights["gat_a2"][li])
+    if w.ndim == 2:
+        return w[None], a1[None], a2[None]
+    return w, a1, a2
 
 
 def _gat_flatten(w: dict) -> np.ndarray:
     parts = []
     for li in range(len(w["gat_ws"])):
-        parts += [np.asarray(w["gat_ws"][li]).ravel(),
-                  np.asarray(w["gat_a1"][li]).ravel(),
-                  np.asarray(w["gat_a2"][li]).ravel()]
+        W, A1, A2 = _gat_layer_params(w, li)
+        for hh in range(W.shape[0]):
+            parts += [W[hh].ravel(), A1[hh].ravel(), A2[hh].ravel()]
     parts.append(np.asarray(w["w_out"]).ravel())
     return np.concatenate(parts)
 
 
-def _gat_unflatten(vec: np.ndarray, shapes) -> dict:
+def _gat_unflatten(vec: np.ndarray, shapes, n_heads: int = 1) -> dict:
     mats, off = [], 0
     for r, c in shapes:
         mats.append(vec[off:off + r * c].reshape(r, c))
         off += r * c
-    n_layers = (len(mats) - 1) // 3
-    return {
-        "gat_ws": [mats[3 * i].tolist() for i in range(n_layers)],
-        "gat_a1": [mats[3 * i + 1].tolist() for i in range(n_layers)],
-        "gat_a2": [mats[3 * i + 2].tolist() for i in range(n_layers)],
-        "w_out": mats[-1].tolist(),
-    }
+    per_layer = 3 * n_heads
+    n_layers = (len(mats) - 1) // per_layer
+    ws, a1s, a2s = [], [], []
+    for li in range(n_layers):
+        blk = mats[li * per_layer : (li + 1) * per_layer]
+        if n_heads == 1:
+            ws.append(blk[0].tolist())
+            a1s.append(blk[1].tolist())
+            a2s.append(blk[2].tolist())
+        else:
+            ws.append([blk[3 * h].tolist() for h in range(n_heads)])
+            a1s.append([blk[3 * h + 1].tolist() for h in range(n_heads)])
+            a2s.append([blk[3 * h + 2].tolist() for h in range(n_heads)])
+    return {"gat_ws": ws, "gat_a1": a1s, "gat_a2": a2s, "w_out": mats[-1].tolist()}
 
 
 def _gat_pairs(n: int, src: np.ndarray, dst: np.ndarray):
@@ -503,15 +544,19 @@ def _gat_forward(nf: np.ndarray, src: np.ndarray, dst: np.ndarray, weights: dict
     n = len(h)
     ii, jj = _gat_pairs(n, src, dst)
     for li in range(len(weights["gat_ws"])):
-        z = h @ np.asarray(weights["gat_ws"][li])
-        s = (z @ np.asarray(weights["gat_a1"][li])).ravel()
-        t = (z @ np.asarray(weights["gat_a2"][li])).ravel()
-        pre = s[ii] + t[jj]
-        e = np.where(pre > 0, pre, _LRELU_SLOPE * pre)
-        alpha = _seg_softmax(e, ii, n)
-        agg = np.zeros_like(z)
-        np.add.at(agg, ii, alpha[:, None] * z[jj])
-        h = np.maximum(agg, 0.0)
+        W, A1, A2 = _gat_layer_params(weights, li)
+        outs = []
+        for hh in range(W.shape[0]):
+            z = h @ W[hh]
+            s = (z @ A1[hh]).ravel()
+            t = (z @ A2[hh]).ravel()
+            pre = s[ii] + t[jj]
+            e = np.where(pre > 0, pre, _LRELU_SLOPE * pre)
+            alpha = _seg_softmax(e, ii, n)
+            agg = np.zeros_like(z)
+            np.add.at(agg, ii, alpha[:, None] * z[jj])
+            outs.append(np.maximum(agg, 0.0))
+        h = outs[0] if len(outs) == 1 else np.concatenate(outs, axis=1)
     logits = h @ np.asarray(weights["w_out"])
     logits -= logits.max(axis=1, keepdims=True)
     ex = np.exp(logits)
@@ -527,21 +572,22 @@ def _gat_doc_grad(nf: np.ndarray, src: np.ndarray, dst: np.ndarray, y: np.ndarra
     hs, caches = [h0], []
     h = h0
     for li in range(n_layers):
-        w = np.asarray(weights["gat_ws"][li])
-        a1 = np.asarray(weights["gat_a1"][li])
-        a2 = np.asarray(weights["gat_a2"][li])
-        z = h @ w
-        s = (z @ a1).ravel()
-        t = (z @ a2).ravel()
-        pre = s[ii] + t[jj]
-        e = np.where(pre > 0, pre, _LRELU_SLOPE * pre)
-        alpha = _seg_softmax(e, ii, n)
-        agg = np.zeros_like(z)
-        np.add.at(agg, ii, alpha[:, None] * z[jj])
-        h_new = np.maximum(agg, 0.0)
-        caches.append((z, pre, alpha, agg))
-        hs.append(h_new)
-        h = h_new
+        W, A1, A2 = _gat_layer_params(weights, li)
+        head_caches, outs = [], []
+        for hh in range(W.shape[0]):
+            z = h @ W[hh]
+            s = (z @ A1[hh]).ravel()
+            t = (z @ A2[hh]).ravel()
+            pre = s[ii] + t[jj]
+            e = np.where(pre > 0, pre, _LRELU_SLOPE * pre)
+            alpha = _seg_softmax(e, ii, n)
+            agg = np.zeros_like(z)
+            np.add.at(agg, ii, alpha[:, None] * z[jj])
+            head_caches.append((z, pre, alpha, agg))
+            outs.append(np.maximum(agg, 0.0))
+        caches.append(head_caches)
+        h = outs[0] if len(outs) == 1 else np.concatenate(outs, axis=1)
+        hs.append(h)
     w_out = np.asarray(weights["w_out"])
     logits = h @ w_out
     logits -= logits.max(axis=1, keepdims=True)
@@ -556,33 +602,40 @@ def _gat_doc_grad(nf: np.ndarray, src: np.ndarray, dst: np.ndarray, y: np.ndarra
     dh = dlog @ w_out.T
     grads = [None] * n_layers
     for li in range(n_layers - 1, -1, -1):
-        z, pre, alpha, agg = caches[li]
-        w = np.asarray(weights["gat_ws"][li])
-        a1 = np.asarray(weights["gat_a1"][li])
-        a2 = np.asarray(weights["gat_a2"][li])
-        dagg = dh * (agg > 0)
-        # agg_i = sum_j alpha_ij z_j
-        dalpha = np.einsum("pd,pd->p", dagg[ii], z[jj])
-        dz = np.zeros_like(z)
-        np.add.at(dz, jj, alpha[:, None] * dagg[ii])
-        # softmax grad per neighbourhood i: de = alpha*(dalpha - sum_k alpha_k dalpha_k)
-        dot = np.zeros(n)
-        np.add.at(dot, ii, alpha * dalpha)
-        de = alpha * (dalpha - dot[ii])
-        dpre = de * np.where(pre > 0, 1.0, _LRELU_SLOPE)
-        ds = np.zeros(n)
-        dt = np.zeros(n)
-        np.add.at(ds, ii, dpre)
-        np.add.at(dt, jj, dpre)
-        # s = z @ a1 ; t = z @ a2
-        g_a1 = (z * ds[:, None]).sum(axis=0)[:, None]
-        g_a2 = (z * dt[:, None]).sum(axis=0)[:, None]
-        dz += ds[:, None] * a1.ravel()[None, :] + dt[:, None] * a2.ravel()[None, :]
-        g_w = hs[li].T @ dz
-        dh = dz @ w.T
-        grads[li] = (g_w, g_a1, g_a2)
+        W, A1, A2 = _gat_layer_params(weights, li)
+        n_heads = W.shape[0]
+        dh_prev = np.zeros_like(hs[li])
+        head_grads = []
+        for hh in range(n_heads):
+            z, pre, alpha, agg = caches[li][hh]
+            dh_head = dh[:, hh * z.shape[1] : (hh + 1) * z.shape[1]]
+            dagg = dh_head * (agg > 0)
+            # agg_i = sum_j alpha_ij z_j
+            dalpha = np.einsum("pd,pd->p", dagg[ii], z[jj])
+            dz = np.zeros_like(z)
+            np.add.at(dz, jj, alpha[:, None] * dagg[ii])
+            # softmax grad per neighbourhood i:
+            # de = alpha * (dalpha - sum_k alpha_k dalpha_k)
+            dot = np.zeros(n)
+            np.add.at(dot, ii, alpha * dalpha)
+            de = alpha * (dalpha - dot[ii])
+            dpre = de * np.where(pre > 0, 1.0, _LRELU_SLOPE)
+            ds = np.zeros(n)
+            dt = np.zeros(n)
+            np.add.at(ds, ii, dpre)
+            np.add.at(dt, jj, dpre)
+            # s = z @ a1 ; t = z @ a2
+            g_a1 = (z * ds[:, None]).sum(axis=0)[:, None]
+            g_a2 = (z * dt[:, None]).sum(axis=0)[:, None]
+            dz += ds[:, None] * A1[hh].ravel()[None, :] + dt[:, None] * A2[hh].ravel()[None, :]
+            g_w = hs[li].T @ dz
+            dh_prev += dz @ W[hh].T
+            head_grads.append((g_w, g_a1, g_a2))
+        dh = dh_prev
+        grads[li] = head_grads
     parts = []
-    for g_w, g_a1, g_a2 in grads:
-        parts += [g_w.ravel(), g_a1.ravel(), g_a2.ravel()]
+    for head_grads in grads:
+        for g_w, g_a1, g_a2 in head_grads:
+            parts += [g_w.ravel(), g_a1.ravel(), g_a2.ravel()]
     parts.append(g_wout.ravel())
     return np.concatenate(parts), loss, n

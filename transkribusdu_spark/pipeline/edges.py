@@ -101,36 +101,53 @@ def _los_pass(
     gb2 = np.round(b2 / GRID) * GRID
     # Sweep order: by start of sweep axis, then overlap axis (determinism).
     order = np.lexsort((ga1, gb1))
+    sa1, sa2, sb1, sb2 = ga1[order], ga2[order], gb1[order], gb2[order]
+    # Band sweep: sb1 is sorted, so each block's candidates are a SUFFIX
+    # of the sweep order (searchsorted jump to the first block starting
+    # at/after its bottom — the reference's di1_by_y2 skip index,
+    # graph/Block.py:531-534); the x-overlap gate is one vectorized
+    # compare over that suffix, and the interpreted masking loop touches
+    # only the overlap survivors (usually a handful before the watermark
+    # early-exit). Output set is identical to the per-pair scan; only
+    # the wasted non-candidate iterations are gone.
     for ii in range(n):
         i = int(order[ii])
+        if mode == "g1o":
+            # candidates start at/after i's *start*; within equal gb1
+            # only later sweep positions qualify -> exactly the suffix
+            # after ii (graph/Block.py:622-688 tie rule)
+            start = ii + 1
+        else:
+            # only blocks starting at/after the bottom of i
+            # (non-overlap assumption, graph/Block.py:506)
+            start = int(np.searchsorted(sb1, sb2[ii], side="left"))
+        if start >= n:
+            continue
+        lo_v = np.maximum(sa1[ii], sa1[start:])
+        hi_v = np.minimum(sa2[ii], sa2[start:])
+        surv = np.nonzero(hi_v > lo_v)[0]
+        if not len(surv):
+            continue
+        ai1, ai2 = sa1[ii], sa2[ii]
+        len_i = ai2 - ai1
         seen: list[tuple[float, float]] = []
-        for jj in range(n):
+        for s in surv:
+            jj = start + int(s)
+            if jj == ii:
+                continue
             j = int(order[jj])
-            if j == i:
-                continue
-            if mode == "g1o":
-                if gb1[j] < gb1[i] or (gb1[j] == gb1[i] and jj <= ii):
-                    continue
-            elif gb1[j] < gb2[i]:
-                # only blocks starting at/after the bottom of i
-                # (non-overlap assumption, graph/Block.py:506)
-                continue
-            lo = max(ga1[i], ga1[j])
-            hi = min(ga2[i], ga2[j])
-            if hi <= lo:
-                continue
+            lo, hi = lo_v[s], hi_v[s]
             visible = _subtract_seen(lo, hi, seen)
             if visible > 0.0:
-                len_i = ga2[i] - ga1[i]
-                len_j = ga2[j] - ga1[j]
+                len_j = sa2[jj] - sa1[jj]
                 ov = visible if mode == "g2" else hi - lo
                 iou = ov / (len_i + len_j - ov) if (len_i + len_j - ov) > 0 else 0.0
-                length = float(gb1[j] - gb2[i])
+                length = float(sb1[jj] - sb2[ii])
                 if mode != "g1o":
                     length = max(length, 0.0)
                 yield i, j, length, float(ov), float(iou)
             _merge_into(seen, lo, hi)
-            if _covered(ga1[i], ga2[i], seen):
+            if _covered(ai1, ai2, seen):
                 break  # watermark early-exit (graph/Block.py:562-565)
 
 

@@ -16,6 +16,7 @@ transformer — the analogue of the reference's pickled-model load.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.ml.classification import LogisticRegression, LogisticRegressionModel
 from pyspark.ml.feature import VectorAssembler
 from pyspark.ml.functions import vector_to_array
@@ -214,6 +215,86 @@ def viterbi_smooth(
         )
 
     return src.groupBy("url").applyInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic closed-form node classifier (diagonal LDA over
+# integer-valued features). spark.ml L-BFGS is not bit-stable across
+# partitionings, so the learned-extraction contract query uses THIS
+# model: every fitted quantity derives from exact integer sums
+# (count/sum/sum-of-squares, all < 2^53), so the fit and the scores are
+# bit-reproducible across engines, partition orders, and cluster sizes
+# — hash-gateable against the independent single-node oracle
+# (tools/make_truth.py mirrors the identical spec).
+# ---------------------------------------------------------------------------
+# Integer-valued node features for the deterministic model, in the
+# FIXED order the score expression sums them (float op order matters).
+LDA_FEATURES = ("ld_chars", "ld_spaces", "ld_w", "ld_h")
+
+
+def _lda_feature_cols(nodes: DataFrame) -> DataFrame:
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    return nodes.withColumn("ld_chars", F.length(txt).cast("double")).withColumn(
+        "ld_spaces", (F.length(txt) - F.length(F.replace(txt, F.lit(" "), F.lit("")))).cast("double")
+    ).withColumn("ld_w", F.col("x2") - F.col("x1")).withColumn("ld_h", F.col("y2") - F.col("y1"))
+
+
+def fit_lda_params(nodes: DataFrame, label_col: str = "label") -> dict:
+    """Closed-form fit: per-class counts, sums, sums of squares (one
+    distributed aggregation, 2 result rows) -> per-feature weights
+    w_f = (mu1_f - mu0_f) / (pooled_var_f + 1) and intercept
+    b = ln(n1/n0) - sum_f w_f * (mu1_f + mu0_f) / 2."""
+    import math
+
+    ft = _lda_feature_cols(nodes).withColumn(
+        "y", F.col(label_col).isin(list(MAIN_CONTENT_LABELS)).cast("int")
+    )
+    aggs = [F.count("*").alias("n")]
+    for c in LDA_FEATURES:
+        aggs.append(F.sum(c).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"q_{c}"))
+    rows = {r["y"]: r for r in ft.groupBy("y").agg(*aggs).collect()}
+    n0, n1 = float(rows[0]["n"]), float(rows[1]["n"])
+    ws, mid = [], []
+    for c in LDA_FEATURES:
+        s0, s1 = float(rows[0][f"s_{c}"]), float(rows[1][f"s_{c}"])
+        q = float(rows[0][f"q_{c}"]) + float(rows[1][f"q_{c}"])
+        mu0, mu1 = s0 / n0, s1 / n1
+        var = (q - s0 * mu0 - s1 * mu1) / (n0 + n1 - 2.0) + 1.0
+        ws.append((mu1 - mu0) / var)
+        mid.append((mu0 + mu1) / 2.0)
+    b = math.log(n1 / n0)
+    for w, m in zip(ws, mid):
+        b = b - w * m
+    return {"w": ws, "b": b}
+
+
+def predict_nodes_lda(nodes: DataFrame, params: dict) -> DataFrame:
+    """Score with broadcast closed-form weights: one Arrow kernel,
+    z = f0*w0 + f1*w1 + f2*w2 + f3*w3 + b (fixed op order, mirrored
+    bit-for-bit by the oracle), p_main = sigmoid(z)."""
+    import numpy as np
+
+    w = [float(x) for x in params["w"]]
+    b = float(params["b"])
+
+    @F.pandas_udf("array<double>")
+    def proba(f0: pd.Series, f1: pd.Series, f2: pd.Series, f3: pd.Series) -> pd.Series:
+        z = (
+            f0.to_numpy(dtype=np.float64) * w[0]
+            + f1.to_numpy(dtype=np.float64) * w[1]
+            + f2.to_numpy(dtype=np.float64) * w[2]
+            + f3.to_numpy(dtype=np.float64) * w[3]
+            + b
+        )
+        p = 1.0 / (1.0 + np.exp(-z))
+        return pd.Series([[1.0 - v, v] for v in p])
+
+    ft = _lda_feature_cols(nodes)
+    return ft.withColumn("y_proba", proba(*[F.col(c) for c in LDA_FEATURES])).withColumn(
+        "pred_label",
+        F.when(F.col("y_proba")[1] >= 0.5, F.lit("main")).otherwise(F.lit("boilerplate")),
+    ).drop(*LDA_FEATURES)
 
 
 def train_edge_classifier(

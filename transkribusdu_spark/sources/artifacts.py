@@ -14,7 +14,9 @@ import json
 import os
 from typing import Any
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 
 def config_hash(config: dict[str, Any]) -> str:
@@ -24,22 +26,39 @@ def config_hash(config: dict[str, Any]) -> str:
     return hashlib.sha1(blob.encode()).hexdigest()[:16]
 
 
+def _read_store(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read the artifacts table, or None if the store does not exist yet.
+    Only the missing-path case is swallowed — genuine read failures
+    (corrupt files, permissions) propagate. Stores written by the old
+    version-less schema are upgraded on the fly: legacy rows count as
+    version 0 so a new save appends version 1 above them."""
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+    if "version" not in df.columns:
+        df = df.withColumn("version", F.lit(0).cast("long"))
+    return df
+
+
 def save_artifact(spark: SparkSession, store_dir: str, name: str,
                   payload: Any, cfg_hash: str = "") -> None:
     """Append a new version: version = 1 + max existing version for
     (name, cfg_hash). Plain parquet read order across appended files is
     unspecified, so 'latest' must be an explicit column, not row order."""
     path = os.path.join(store_dir, "artifacts")
-    try:
-        prev = spark.read.parquet(path)
+    prev = _read_store(spark, path)
+    if prev is None:
+        version = 1
+    else:
         row = (
             prev.filter((prev.name == name) & (prev.cfg_hash == cfg_hash))
             .agg({"version": "max"})
             .collect()[0]
         )
-        version = int(row[0] or 0) + 1
-    except Exception:
-        version = 1
+        version = int(row[0] if row[0] is not None else 0) + 1
     df = spark.createDataFrame(
         [(name, cfg_hash, version, json.dumps(payload, sort_keys=True))],
         "name string, cfg_hash string, version long, payload string",
@@ -51,9 +70,8 @@ def load_artifact(spark: SparkSession, store_dir: str, name: str,
                   cfg_hash: str = "") -> Any | None:
     """Latest artifact for (name, cfg_hash) by explicit version column,
     or None if absent/stale."""
-    try:
-        df = spark.read.parquet(os.path.join(store_dir, "artifacts"))
-    except Exception:
+    df = _read_store(spark, os.path.join(store_dir, "artifacts"))
+    if df is None:
         return None
     rows = (
         df.filter((df.name == name) & (df.cfg_hash == cfg_hash))

@@ -29,10 +29,16 @@ from ..schemas import ALL_LABELS, NODES_SCHEMA
 
 
 def _esc(col):
+    # '"' must be escaped too: node_id is rendered inside id="..."
+    # (matches writeback._esc); harmless in element text
     return F.replace(
-        F.replace(F.replace(col, F.lit("&"), F.lit("&amp;")), F.lit("<"), F.lit("&lt;")),
-        F.lit(">"),
-        F.lit("&gt;"),
+        F.replace(
+            F.replace(F.replace(col, F.lit("&"), F.lit("&amp;")), F.lit("<"), F.lit("&lt;")),
+            F.lit(">"),
+            F.lit("&gt;"),
+        ),
+        F.lit('"'),
+        F.lit("&quot;"),
     )
 
 
@@ -129,8 +135,15 @@ def parse_dsxml_doc(url: str, xml: bytes) -> list[dict]:
     return rows
 
 
-def parse_dsxml_pages(pages: DataFrame, payload_col: str = "html") -> DataFrame:
-    """pages with DS-XML payloads -> standard nodes table (map-only)."""
+def parse_dsxml_pages(
+    pages: DataFrame, payload_col: str = "html", on_error: str = "skip"
+) -> DataFrame:
+    """pages with DS-XML payloads -> standard nodes table (map-only).
+
+    ``on_error='skip'`` (default) drops malformed documents — audit them
+    via :func:`parse_dsxml_errors`, same error channel contract as the
+    PageXML source's ``parse_errors``; ``'raise'`` is strict mode."""
+    strict = on_error == "raise"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         names = [f.name for f in NODES_SCHEMA.fields]
@@ -140,6 +153,8 @@ def parse_dsxml_pages(pages: DataFrame, payload_col: str = "html") -> DataFrame:
                 try:
                     rows = parse_dsxml_doc(url, bytes(payload))
                 except Exception:
+                    if strict:
+                        raise
                     continue
                 for r in rows:
                     for n in names:
@@ -147,3 +162,25 @@ def parse_dsxml_pages(pages: DataFrame, payload_col: str = "html") -> DataFrame:
             yield pd.DataFrame(out)
 
     return pages.select("url", payload_col).mapInPandas(run, schema=NODES_SCHEMA)
+
+
+def parse_dsxml_errors(pages: DataFrame, payload_col: str = "html") -> DataFrame:
+    """Audit channel: one row per DS-XML document that fails to parse
+    (url, error) — mirror of ``pipeline.parse.parse_errors``."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("error", T.StringType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bad: list[dict] = []
+            for url, payload in zip(pdf["url"], pdf[payload_col]):
+                try:
+                    parse_dsxml_doc(url, bytes(payload))
+                except Exception as e:
+                    bad.append({"url": url, "error": f"{type(e).__name__}: {e}"})
+            yield pd.DataFrame(bad, columns=["url", "error"])
+
+    return pages.select("url", payload_col).mapInPandas(run, schema=schema)
