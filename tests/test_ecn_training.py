@@ -138,23 +138,69 @@ def test_gat_backprop_matches_finite_differences():
         assert abs(num - flat[i]) < 1e-5 * max(1.0, abs(num))
 
 
-def test_trained_gat_learns(spark, sf_dir):
-    """M5: a short distributed GAT fit must clearly learn (measured: 120
-    epochs -> 0.99 node accuracy / 462 of 500 byte-identical)."""
-    nodes = parse_pages(pages_from_documents(spark, sf_dir)).filter(
-        F.col("doc_id") < 150
-    ).cache()
+def test_multihead_gat_backprop_matches_finite_differences():
+    from transkribusdu_spark.pipeline.ecn import (
+        _gat_doc_grad,
+        _gat_flatten,
+        _gat_forward,
+        _gat_shapes,
+        _gat_unflatten,
+        gat_init,
+    )
+
+    rng = np.random.default_rng(2)
+    n, f, hdim, k, heads = 7, 4, 6, 2, 3
+    nf = rng.standard_normal((n, f))
+    src = np.array([0, 1, 2, 3, 5])
+    dst = np.array([1, 2, 3, 4, 6])
+    y = rng.integers(0, k, n)
+    w = gat_init(f, hdim, k, 2, seed=9, n_heads=heads)
+    shapes = _gat_shapes(f, hdim, k, 2, heads)
+    theta = _gat_flatten(w)
+    assert np.allclose(_gat_flatten(_gat_unflatten(theta, shapes, heads)), theta)
+    flat, _, _ = _gat_doc_grad(nf, src, dst, y, w)
+    assert len(flat) == len(theta)
+
+    def loss_at(th):
+        p = _gat_forward(nf, src, dst, _gat_unflatten(th, shapes, heads))
+        return float(-np.log(np.clip(p[np.arange(n), y], 1e-12, 1.0)).sum())
+
+    eps = 1e-6
+    for i in rng.choice(len(theta), 25, replace=False):
+        tp, tm = theta.copy(), theta.copy()
+        tp[i] += eps
+        tm[i] -= eps
+        num = (loss_at(tp) - loss_at(tm)) / (2 * eps)
+        assert abs(num - flat[i]) < 1e-5 * max(1.0, abs(num))
+
+
+def test_trained_gat_extraction_parity(spark, sf_dir):
+    """M5 parity gate (reference gcn/gcn_models.py:1795-2528): the
+    multi-head GAT (4 heads x 8-dim, concat) trained 150 epochs reaches
+    byte-identical extraction on >= 499/500 documents at sf0.001 —
+    measured 500/500 (node accuracy 1.0), matching the edge-conditioned
+    ECN and closing the round-2 single-head gap (462/500). The fit is
+    bit-deterministic (integer-rounded gradient aggregation), so the
+    assertion is not flaky headroom but a regression pin."""
+    nodes = parse_pages(pages_from_documents(spark, sf_dir)).cache()
     edges = build_edges(nodes).cache()
     nf = node_features(nodes, edges).cache()
     nf.count()
-    w = train_ecn(nf, edges, NODE_FEATURE_COLS_FULL, epochs=30, lr=0.05, arch="gat")
-    assert "gat_ws" in w
+    w = train_ecn(nf, edges, NODE_FEATURE_COLS_FULL, epochs=150, lr=0.05,
+                  arch="gat", n_heads=4, n_hidden=32)
+    assert "gat_ws" in w and len(w["gat_ws"][0]) == 4  # 4 heads per layer
     scored = ecn_score(nf, edges, w, NODE_FEATURE_COLS_FULL)
     pred = scored.withColumn(
         "pred_label",
         F.when(F.col("y_proba")[1] >= 0.5, F.lit("main")).otherwise(F.lit("boilerplate")),
     )
     labeled = nf.join(pred.select("url", "node_id", "pred_label"), ["url", "node_id"])
-    gt = F.when(F.col("label").isin("paragraph", "heading"), "main").otherwise("boilerplate")
-    acc = labeled.select(F.avg((F.col("pred_label") == gt).cast("double"))).collect()[0][0]
-    assert acc >= 0.85, f"GAT accuracy {acc}"
+    ext = extract_text_spans(labeled, labels=("main",), label_col="pred_label")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    ok = (
+        ext.join(docs, "doc_id")
+        .filter(F.col("extracted_text") == F.col("text"))
+        .count()
+    )
+    assert ok >= 499, f"multi-head GAT byte-identical {ok}/{n_docs}"

@@ -117,3 +117,50 @@ def test_trained_classifiers_beat_chance(spark, sf_dir):
         "hit", ((F.col("p_break") > 0.5) == (F.col("y") == 1.0)).cast("int")
     ).agg(F.avg("hit")).collect()[0][0]
     assert eacc > 0.8, f"edge classifier accuracy {eacc}"
+
+
+def test_split_cluster_columns_kernel():
+    """C7 wired into region splitting: a two-column cluster splits at the
+    widest whitespace gap with an exact max-margin separator; single
+    columns and sub-threshold gaps stay whole."""
+    from transkribusdu_spark.pipeline.segment import split_cluster_columns
+
+    left = [(f"L{i}", 10.0, 50.0 * i, 300.0, 50.0 * i + 30) for i in range(4)]
+    right = [(f"R{i}", 340.0, 50.0 * i, 600.0, 50.0 * i + 30) for i in range(4)]
+    groups, sep = split_cluster_columns(left + right)
+    assert groups == [sorted(m[0] for m in left), sorted(m[0] for m in right)]
+    # the separator between two axis-aligned columns is the vertical line
+    # through the gap midpoint, reported as (inf, x)
+    assert sep == (float("inf"), 320.0)
+    g1, s1 = split_cluster_columns(left)
+    assert s1 is None and len(g1) == 1
+    g2, s2 = split_cluster_columns(left + right, min_gap=100.0)
+    assert s2 is None and len(g2) == 1
+
+
+def test_split_wide_clusters_distributed(spark):
+    """Distributed shape: clusters spanning two columns get split; the
+    refined table keeps every node exactly once per url."""
+    from pyspark.sql import functions as F
+
+    from transkribusdu_spark.pipeline.segment import split_wide_clusters
+
+    rows = []
+    for i in range(3):
+        rows.append(("u1", f"L{i}", 10.0, 50.0 * i, 300.0, 50.0 * i + 30))
+        rows.append(("u1", f"R{i}", 340.0, 50.0 * i, 600.0, 50.0 * i + 30))
+    nodes = spark.createDataFrame(
+        rows, "url string, node_id string, x1 double, y1 double, x2 double, y2 double"
+    )
+    clusters = spark.createDataFrame(
+        [("u1", 0, "cc", [f"L{i}" for i in range(3)] + [f"R{i}" for i in range(3)])],
+        "url string, cluster_id int, algo string, node_ids array<string>",
+    )
+    out = split_wide_clusters(clusters, nodes).orderBy("cluster_id").collect()
+    assert len(out) == 2
+    assert sorted(out[0].node_ids) == ["L0", "L1", "L2"]
+    assert sorted(out[1].node_ids) == ["R0", "R1", "R2"]
+    assert list(out[0].separator) == [float("inf"), 320.0]
+    # node coverage is a partition of the original membership
+    flat = sorted(n for r in out for n in r.node_ids)
+    assert flat == sorted(r[1] for r in rows)

@@ -256,3 +256,19 @@ def test_clusters_with_hulls_c4(spark):
     pts = {tuple(map(int, p.split(","))) for p in r.hull_points.split(" ")}
     # hull of the two boxes' corners = the 4 outer corners
     assert pts == {(0, 0), (30, 0), (30, 10), (0, 10)}
+
+
+def test_boxpartition_vertical_segment_spans_both_endpoints():
+    """A vertical cut segment (xa == xb) covers [min(ya,yb), max(ya,yb)],
+    not just ya: a box crossed strictly between the endpoints must be
+    detected (regression guard for the single-endpoint bug)."""
+    from transkribusdu_spark.functions.shapecut import BoxPartition
+
+    bp = BoxPartition([[0, 4, 2, 6]])  # box y-range [4, 6], x-range [0, 2]
+    # vertical segment at x=1 from y=0 to y=10 passes through the box
+    assert not bp.is_valid_cut(1, 0, 1, 10)
+    assert tuple(bp.intersecting_ribbon(1, 0, 1, 10)) == (0,)
+    # endpoint order must not matter
+    assert not bp.is_valid_cut(1, 10, 1, 0)
+    # a vertical segment left of the box misses it
+    assert bp.is_valid_cut(-1, 0, -1, 10)

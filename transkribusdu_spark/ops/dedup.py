@@ -183,12 +183,17 @@ def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
                         h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) % MERSENNE_P
                         memo[t] = h
                     th[i] = h
-                # n-gram mix: sum_j k_j * th[j : len-n+1+j], mod p each
-                # step so partial sums stay < 2^62 under ANSI int64
-                m = len(toks) - n + 1
-                sh = np.zeros(m, dtype=np.int64)
-                for j, kj in enumerate(ks):
-                    sh = (sh + th[j : j + m] * kj) % MERSENNE_P
+                if n == 3:
+                    # fused trigram fast path: one mod (sum < 2^62, the
+                    # pinned constants keep products small enough)
+                    sh = (th[:-2] * ks[0] + th[1:-1] * ks[1] + th[2:] * ks[2]) % MERSENNE_P
+                else:
+                    # general n-gram mix: sum_j k_j * th[j:], mod p each
+                    # step so partial sums stay < 2^62 under int64
+                    m = len(toks) - n + 1
+                    sh = np.zeros(m, dtype=np.int64)
+                    for j, kj in enumerate(ks):
+                        sh = (sh + th[j : j + m] * kj) % MERSENNE_P
                 sh = np.unique(sh)  # distinct shingles (trio-hash level)
                 sig = ((A * sh[None, :] + B) % MERSENNE_P).min(axis=1)
                 ids.append(doc_id)

@@ -102,6 +102,12 @@ def _los_pass(
     # Sweep order: by start of sweep axis, then overlap axis (determinism).
     order = np.lexsort((ga1, gb1))
     sa1, sa2, sb1, sb2 = ga1[order], ga2[order], gb1[order], gb2[order]
+    if n < 32:
+        # Small pages (the common web-page case, ~10 regions): per-i
+        # numpy slicing costs more than it saves — a plain list scan is
+        # ~2x faster (measured crossover n~32). Identical output.
+        yield from _los_small(order, sa1, sa2, sb1, sb2, mode)
+        return
     # Band sweep: sb1 is sorted, so each block's candidates are a SUFFIX
     # of the sweep order (searchsorted jump to the first block starting
     # at/after its bottom — the reference's di1_by_y2 skip index,
@@ -149,6 +155,44 @@ def _los_pass(
             _merge_into(seen, lo, hi)
             if _covered(ai1, ai2, seen):
                 break  # watermark early-exit (graph/Block.py:562-565)
+
+
+def _los_small(order, sa1, sa2, sb1, sb2, mode: str):
+    """Small-n line-of-sight scan over plain Python floats (numpy scalar
+    arithmetic is ~10x slower per op than float); same candidate rule as
+    the band sweep: sb1 sorted -> candidates are a suffix."""
+    n = len(order)
+    la1, la2 = sa1.tolist(), sa2.tolist()
+    lb1, lb2 = sb1.tolist(), sb2.tolist()
+    for ii in range(n):
+        i = int(order[ii])
+        ai1, ai2 = la1[ii], la2[ii]
+        bot = lb2[ii]
+        len_i = ai2 - ai1
+        seen: list[tuple[float, float]] = []
+        start = ii + 1 if mode == "g1o" else 0
+        for jj in range(start, n):
+            if jj == ii:
+                continue
+            if mode != "g1o" and lb1[jj] < bot:
+                continue
+            lo = ai1 if ai1 > la1[jj] else la1[jj]
+            hi = ai2 if ai2 < la2[jj] else la2[jj]
+            if hi <= lo:
+                continue
+            visible = _subtract_seen(lo, hi, seen)
+            if visible > 0.0:
+                len_j = la2[jj] - la1[jj]
+                ov = visible if mode == "g2" else hi - lo
+                iou = ov / (len_i + len_j - ov) if (len_i + len_j - ov) > 0 else 0.0
+                length = lb1[jj] - bot
+                if mode != "g1o":
+                    length = max(length, 0.0)
+                yield i, int(order[jj]), float(length), float(ov), float(iou)
+            _merge_into(seen, lo, hi)
+            if _covered(ai1, ai2, seen):
+                break  # watermark early-exit
+    return
 
 
 def _box_iou(x1a, y1a, x2a, y2a, x1b, y1b, x2b, y2b) -> float:

@@ -153,6 +153,94 @@ def connected_components(nodes: DataFrame, edge_scores: DataFrame,
     return _cluster_by(nodes, edge_scores, "cc", threshold)
 
 
+def split_cluster_columns(
+    members: list[tuple[str, float, float, float, float]], min_gap: float = 30.0
+) -> tuple[list[list[str]], tuple[float, float] | None]:
+    """C7 applied to region splitting (reference ``util/statSeparator.py``
+    wired into the segmenter): if a cluster's members leave a horizontal
+    whitespace gap >= min_gap in their x-projection, split it into
+    left/right sub-clusters at the widest gap and return the exact
+    max-margin separator line (a, b) between the two corner sets —
+    vertical separators are reported as (inf, x_threshold).
+
+    members: (node_id, x1, y1, x2, y2). Pure kernel (unit-testable);
+    :func:`split_wide_clusters` lifts it over the clusters table.
+    """
+    import numpy as np
+
+    from ..functions.separator import get_linear_separator
+
+    if len(members) < 2:
+        return [sorted(m[0] for m in members)], None
+    ms = sorted(members, key=lambda m: (m[1], m[3], m[0]))
+    best_gap, best_cut = 0.0, None
+    runmax = ms[0][3]
+    for i in range(1, len(ms)):
+        gap = ms[i][1] - runmax
+        if gap > best_gap:
+            best_gap, best_cut = gap, (runmax + ms[i][1]) / 2.0
+        runmax = max(runmax, ms[i][3])
+    if best_cut is None or best_gap < min_gap:
+        return [sorted(m[0] for m in members)], None
+    left = [m for m in ms if m[3] <= best_cut]
+    right = [m for m in ms if m[1] > best_cut]
+    pts, labels = [], []
+    for group, lab in ((left, 0), (right, 1)):
+        for _, x1, y1, x2, y2 in group:
+            pts += [(x1, y1), (x2, y1), (x2, y2), (x1, y2)]
+            labels += [lab] * 4
+    try:
+        sep = get_linear_separator(np.asarray(pts, dtype=float), np.asarray(labels))
+    except ValueError:
+        sep = (float("inf"), float(best_cut))  # vertical separator x = cut
+    return (
+        [sorted(m[0] for m in left), sorted(m[0] for m in right)],
+        (float(sep[0]), float(sep[1])),
+    )
+
+
+def split_wide_clusters(clusters: DataFrame, nodes: DataFrame,
+                        min_gap: float = 30.0) -> DataFrame:
+    """Distributed C7 region splitting: re-partition each cluster whose
+    members straddle a whitespace column gap; same cogrouped-per-url
+    shape as the clusterers. Emits the refined clusters table plus a
+    ``separator`` column (a, b) on rows produced by a split."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    memb = clusters.select(
+        "url", "cluster_id", "algo", F.explode("node_ids").alias("node_id")
+    ).join(nodes.select("url", "node_id", "x1", "y1", "x2", "y2"), ["url", "node_id"])
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("cluster_id", T.IntegerType(), False),
+            T.StructField("algo", T.StringType(), False),
+            T.StructField("node_ids", T.ArrayType(T.StringType(), False), False),
+            T.StructField("separator", T.ArrayType(T.DoubleType(), True), True),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (url, _cid, algo), g in pdf.groupby(["url", "cluster_id", "algo"]):
+            members = list(zip(g["node_id"], g["x1"], g["y1"], g["x2"], g["y2"]))
+            groups, sep = split_cluster_columns(members, min_gap)
+            for grp in groups:
+                out.append(
+                    {"url": url, "cluster_id": 0, "algo": algo, "node_ids": grp,
+                     "separator": list(sep) if sep is not None else None}
+                )
+        out.sort(key=lambda r: r["node_ids"][0] if r["node_ids"] else "")
+        for i, r in enumerate(out):
+            r["cluster_id"] = i
+        cols = [f.name for f in schema.fields]
+        return pd.DataFrame(out, columns=cols)
+
+    return memb.groupBy("url").applyInPandas(run, schema=schema)
+
+
 def clusters_with_hulls(clusters: DataFrame, nodes: DataFrame) -> DataFrame:
     """C4 cluster -> DOM geometry: each cluster gets the convex hull of
     its members' box corners as a PageXML-style points string (reference
