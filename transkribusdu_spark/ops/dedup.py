@@ -270,10 +270,13 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     of (+1 if bit b of the hash is set else -1) is > 0.
 
     Shape: one Arrow map-only kernel per batch — tokens are hashed once
-    per DISTINCT token per batch (md5 memoised), bit sums are integer
-    numpy ops (exact). This replaced a 60-conditional-sum JVM
-    aggregation that was the heaviest query in the bench (10.4 s ->
-    ~1 s at 20k docs); value-identical by construction.
+    per DISTINCT token per batch (md5 memoised), and the per-doc bit
+    sums are ONE batched scatter-add over all (doc, token, count)
+    triples of the batch (np.add.at over an n_docs x 60 accumulator),
+    so no per-token Python runs in the hot loop. This replaced a
+    60-conditional-sum JVM aggregation that was the heaviest query in
+    the bench (10.4 s -> ~1 s at 20k docs); value-identical by
+    construction (integer arithmetic throughout).
     """
     import hashlib
     from typing import Iterator
@@ -286,25 +289,39 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            n_docs = len(pdf)
             memo: dict[str, int] = {}
-            out = np.zeros(len(pdf), dtype=np.int64)
+            doc_ix: list[int] = []
+            tok_h: list[int] = []
+            tok_c: list[int] = []
+            n_tok = np.zeros(n_docs, dtype=np.int64)
             for i, text in enumerate(pdf["text"]):
                 toks = (text or "").split(" ")
+                n_tok[i] = len(toks)
                 counts: dict[str, int] = {}
                 for t in toks:
                     counts[t] = counts.get(t, 0) + 1
-                n_tok = len(toks)
-                acc = np.zeros(bits, dtype=np.int64)
                 for t, c in counts.items():
                     h = memo.get(t)
                     if h is None:
                         h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
                         memo[t] = h
-                    hb = (h >> bit_idx) & 1
-                    acc += hb * c
-                # sum(+1/-1) = 2*acc - n_tok; bit set iff > 0
-                sig_bits = (2 * acc - n_tok) > 0
-                out[i] = int((sig_bits << bit_idx).sum()) & mask
+                    doc_ix.append(i)
+                    tok_h.append(h)
+                    tok_c.append(c)
+            acc = np.zeros((n_docs, bits), dtype=np.int64)
+            if doc_ix:
+                H = np.array(tok_h, dtype=np.int64)
+                D = np.array(doc_ix)
+                C = np.array(tok_c, dtype=np.int64)
+                # chunk the (n_triples x 60) bit matrix to bound peak memory
+                step = 200_000
+                for s in range(0, len(H), step):
+                    B = (H[s : s + step, None] >> bit_idx) & 1
+                    np.add.at(acc, D[s : s + step], B * C[s : s + step, None])
+            # sum(+1/-1) = 2*acc - n_tok; bit set iff > 0
+            sig_bits = (2 * acc - n_tok[:, None]) > 0
+            out = (sig_bits.astype(np.int64) * (1 << bit_idx)).sum(axis=1) & mask
             yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "simhash": out})
 
     return docs.select("doc_id", "text").mapInPandas(run, schema="doc_id long, simhash long")
