@@ -54,6 +54,42 @@ def conjugate_cluster(pages: DataFrame, edge_model=None) -> DataFrame:
     return connected_components(nodes, scores)
 
 
+def extract_documents_deterministic(pages: DataFrame) -> DataFrame:
+    """The hash-gateable learned path: fit the closed-form diagonal-LDA
+    node classifier (bit-reproducible integer-sum fit), predict,
+    Viterbi-smooth with fitted transitions, extract. This is the
+    pipeline the contract query `extract_predicted_smoothed` verifies
+    against the independent single-node oracle."""
+    from .pipeline.model import (
+        fit_label_transitions,
+        fit_lda_params,
+        predict_nodes_lda,
+        viterbi_smooth,
+    )
+
+    nodes = parse_pages(pages)
+    params = fit_lda_params(nodes)
+    pred = predict_nodes_lda(nodes, params)
+    sm = viterbi_smooth(pred, log_trans=fit_label_transitions(nodes))
+    labeled = pred.drop("y_proba").join(sm, ["url", "node_id"])
+    return extract_text_spans(labeled, labels=("main",), label_col="smoothed_label")
+
+
+def segment_regions(pages: DataFrame, edge_model=None, min_col_gap: float = 30.0) -> DataFrame:
+    """Full segmentation surface: conjugate clustering, column splitting
+    via the linear separator (C7), convex hulls per refined cluster
+    (C4) — the cluster->DOM geometry the exporter consumes."""
+    from .pipeline.segment import clusters_with_hulls, split_wide_clusters
+
+    nodes = parse_pages(pages)
+    edges = build_edges(nodes)
+    ef = edge_features(edges, nodes)
+    scores = edge_oracle_scores(ef) if edge_model is None else predict_edges(edge_model, ef)
+    clusters = connected_components(nodes, scores)
+    refined = split_wide_clusters(clusters, nodes, min_gap=min_col_gap)
+    return clusters_with_hulls(refined.drop("separator"), nodes)
+
+
 def train_models(pages: DataFrame):
     """Fit stage: returns (node_model, edge_model) trained on GT labels."""
     nodes = parse_pages(pages)
