@@ -339,45 +339,57 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, bits: int = 60) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= k.
 
-    Scale path: block on 10 6-bit chunks — by pigeonhole any pair with
-    Hamming distance <= 9 shares at least one chunk, so recall is exact
-    for max_hamming <= 9 without an all-pairs join.
+    Scale path: MULTI-INDEX blocking (the classic multi-index-hashing
+    trick) — 5 chunks of 12 bits; one side carries exact chunk values,
+    the other the exact value plus all 12 one-bit flips. By pigeonhole a
+    pair at Hamming distance <= 9 has some chunk differing in <= 1 bit,
+    so the equi-join finds it EXACTLY (recall 1 for max_hamming <= 9,
+    never an all-pairs join). Vs the previous 10x6-bit scheme this cuts
+    random-pair candidate probability ~10x (5*13/4096 vs 10/64 — at
+    100k docs that is ~80M joined rows instead of ~780M), and the cheap
+    bit_count filter runs map-side BEFORE the dedup shuffle, so the
+    distinct only ever carries true near-pairs.
     """
     if max_hamming > 9:
-        raise ValueError("chunk blocking guarantees recall only for max_hamming <= 9")
+        raise ValueError("multi-index blocking guarantees recall only for max_hamming <= 9")
     sig = simhash(docs, bits)
-    n_chunks, chunk = 10, 6  # 60 bits -> 10 chunks of 6
-    blocks = sig.select(
+    n_chunks, chunk = 5, 12  # 60 bits -> 5 chunks of 12; floor(9/5) = 1 flip
+
+    def chunk_val(i):
+        return F.shiftright("simhash", i * chunk).bitwiseAND(F.lit((1 << chunk) - 1))
+
+    exact = sig.select(
         "doc_id", "simhash",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftright("simhash", i * chunk).bitwiseAND(F.lit((1 << chunk) - 1)).alias("cv"),
-                    )
-                    for i in range(n_chunks)
-                ]
-            )
+            F.array(*[F.struct(F.lit(i).alias("ci"), chunk_val(i).alias("key"))
+                      for i in range(n_chunks)])
         ).alias("c"),
-    ).select("doc_id", "simhash", "c.ci", "c.cv")
-    cand = (
-        blocks.alias("x")
-        .join(blocks.alias("y"), ["ci", "cv"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+    ).select("doc_id", "simhash", "c.ci", "c.key")
+    expanded = sig.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    (chunk_val(i).bitwiseXOR(F.lit(1 << j)) if j < chunk else chunk_val(i)).alias("key"),
+                )
+                for i in range(n_chunks)
+                for j in range(chunk + 1)
+            ])
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.ci", "c.key")
+    joined = (
+        exact.alias("x")
+        .join(expanded.alias("y"), ["ci", "key"])
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
         .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.simhash").alias("ha"),
-            F.col("y.simhash").alias("hb"),
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).cast("long").alias("hamming"),
         )
-        .distinct()
+        .filter(F.col("hamming") <= max_hamming)  # map-side, pre-shuffle
     )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return joined.groupBy("doc_a", "doc_b").agg(F.first("hamming").alias("hamming"))
 
 
 def _dot(a, b):
