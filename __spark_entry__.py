@@ -177,14 +177,17 @@ def _q_fold_counts(spark, sf_dir):
 
 
 def _q_ecn_scores(spark, sf_dir):
-    """M4 ECN inference from FITTED weights. Rows-only: model output is
-    not SQL-expressible; quality is gated in tests/test_ecn_training.py
-    (>=0.97 node accuracy, byte-identical extraction above the LR
-    baseline). The gate scores with a pinned trained-weights artifact
-    (truth/ecn_weights_<sf>.json, produced by tools/pin_ecn_weights.py
-    from the same deterministic 30-epoch distributed fit this query
-    used to run inline — ~30 Spark jobs saved per gate run); an unknown
-    sf_dir falls back to training in place."""
+    """M4 ECN inference from FITTED weights, hash-gated: the pinned
+    trained-weights artifact (truth/ecn_weights_<sf>.json, produced by
+    tools/pin_ecn_weights.py from the deterministic 30-epoch distributed
+    fit) makes the output fully deterministic, and the oracle is an
+    INDEPENDENT numpy forward pass over the same pinned weights with
+    features/edges re-derived from the layout plan
+    (tools/make_truth.py ecn_scores_truth; reference semantics
+    gcn/gcn_models.py:516-609). Training quality stays pytest-gated in
+    tests/test_ecn_training.py (>=0.97 node accuracy, byte-identical
+    extraction above the LR baseline). An unknown sf_dir falls back to
+    training in place."""
     import json
 
     from transkribusdu_spark.pipeline.ecn import ecn_score, train_ecn
@@ -644,6 +647,31 @@ join sizes sb on sb.doc_id = doc_b
 where round(n_inter::double / (sa.sz + sb.sz - n_inter), 6) >= 0.7
 """
 
+# ngram_jaccard_pairs oracle: mirrors the hot-shingle DF cap (default
+# 1000) the Spark operator applies BEFORE its inverted-index self-join —
+# shingles above the cap are dropped and set sizes recomputed post-drop,
+# so the gate stays exact at any corpus scale, not only below the cap.
+# minhash_lsh_pairs keeps the UNCAPPED plain-Jaccard oracle above (its
+# per-candidate verify has no hot-key join to guard).
+_SHINGLE_CAPPED_CTE = """
+with docs as (select doc_id, string_split(text,' ') toks from documents),
+sh0 as (select doc_id, unnest(list_distinct(
+         [toks[i]||' '||toks[i+1]||' '||toks[i+2] for i in range(1, len(toks)-1)])) as shingle
+       from docs where len(toks) >= 3),
+hot as (select shingle from sh0 group by shingle having count(*) > 1000),
+sh as (select * from sh0 anti join hot using (shingle)),
+sizes as (select doc_id, count(*) sz from sh group by doc_id),
+inter as (select a.doc_id doc_a, b.doc_id doc_b, count(*) n_inter
+          from sh a join sh b using (shingle) where a.doc_id < b.doc_id
+          group by 1, 2)
+select doc_a, doc_b,
+       round(n_inter::double / (sa.sz + sb.sz - n_inter), 6) as jaccard
+from inter
+join sizes sa on sa.doc_id = doc_a
+join sizes sb on sb.doc_id = doc_b
+where round(n_inter::double / (sa.sz + sb.sz - n_inter), 6) >= 0.7
+"""
+
 _SIMHASH_CTE = """
 with tok as (select doc_id, unnest(string_split(text, ' ')) t from documents),
 h as (select doc_id, cast(('0x' || substr(md5(t), 1, 15)) as ubigint)::bigint h from tok),
@@ -762,6 +790,10 @@ def oracle_sql() -> dict[str, str]:
             where n.kind = 'TextRegion'
         """,
         "chi2_features": f"select feature, chi2 from {_t('chi2')}",
+        "ecn_scores": f"""
+            select url, n_scored::bigint n_scored, n_main_pred::bigint n_main_pred
+            from {_t('ecn_scores')}
+        """,
         "ann_lsh": f"select query_id, vec_id, cosine, rank from {_t('ann_lsh')}",
         "ann_ivf": f"select query_id, vec_id, cosine, rank from {_t('ann_ivf')}",
         # --- documents-table oracles ---
@@ -799,7 +831,7 @@ def oracle_sql() -> dict[str, str]:
             select md5(text) h, min(doc_id) keep_doc_id, count(*) group_size
             from documents group by 1
         """,
-        "ngram_jaccard_pairs": _SHINGLE_CTE,
+        "ngram_jaccard_pairs": _SHINGLE_CAPPED_CTE,
         "minhash_lsh_pairs": _SHINGLE_CTE,
         "simhash": _SIMHASH_CTE + "select doc_id, simhash from sig",
         "simhash_near_pairs": _SIMHASH_CTE + """

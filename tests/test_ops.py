@@ -216,3 +216,87 @@ def test_ivf_knn_recall(emb):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
     # ranks must be dense 1..k per query
     assert (approx.groupby("query_id")["rank"].max() == k).all()
+
+
+def test_occupancy_aware_neardup_config():
+    """Locks the N-aware depth/tables rule: at web-scale N the config
+    deepens hashes so expected bucket occupancy stays bounded (or the
+    table cap binds, for intrinsically-hard low thresholds) while the
+    analytic per-pair miss stays within target."""
+    import math
+
+    from transkribusdu_spark.ops.similarity import (
+        MAX_BUCKET_OCCUPANCY,
+        NEARDUP_MAX_TABLES,
+        NEARDUP_MISS_TARGET,
+        NEARDUP_TABLES,
+        neardup_config,
+    )
+
+    # small / unspecified N: unchanged round-3 configs (gate stability)
+    assert neardup_config(0.45) == (NEARDUP_TABLES, 3)
+    assert neardup_config(0.85) == (NEARDUP_TABLES, 7)
+    for n, t in [(10**7, 0.85), (10**9, 0.85), (10**9, 0.7), (10**8, 0.6)]:
+        tables, planes = neardup_config(t, n_vectors=n)
+        p = 1.0 - math.acos(t) / math.pi
+        miss = (1.0 - p**planes) ** tables
+        assert miss <= NEARDUP_MISS_TARGET * 1.0000001, (n, t, tables, planes, miss)
+        assert tables <= NEARDUP_MAX_TABLES
+        occupancy = n / (1 << planes)
+        # bounded occupancy unless the table cap binds (documented
+        # intrinsic near-quadratic regime)
+        assert occupancy <= MAX_BUCKET_OCCUPANCY or tables >= NEARDUP_TABLES, (
+            n, t, tables, planes)
+    # 1e9 vectors at 0.85: occupancy truly bounded
+    tables, planes = neardup_config(0.85, n_vectors=10**9)
+    assert 10**9 / (1 << planes) <= MAX_BUCKET_OCCUPANCY
+    assert tables > NEARDUP_TABLES  # tables rose to pay for the depth
+
+
+def test_forced_hot_bucket_blocked_verify():
+    """All vectors in ONE bucket, >= 200k of them, verified under a
+    capped address-space budget: the blocked kernel needs O(chunk * m)
+    scratch where the unblocked m x m similarity matrix would be
+    ~360 GB. Runs in a subprocess so the RLIMIT_AS cap cannot leak into
+    the test session; also asserts survivor parity against a direct
+    O(s^2) check on a planted near-dup cluster."""
+    import subprocess
+    import sys
+
+    code = r"""
+import resource, sys
+import numpy as np
+# cap address space at 3 GiB: the unblocked 220k x 220k double matrix
+# alone would need ~360 GiB, so only a blocked verify can pass
+resource.setrlimit(resource.RLIMIT_AS, (3 << 30, 3 << 30))
+from transkribusdu_spark.ops.similarity import _verified_bucket_pairs
+
+rng = np.random.default_rng(7)
+m, d = 220_000, 8
+M = rng.standard_normal((m, d))
+# plant a tight cluster: 5 vectors almost identical
+base = rng.standard_normal(d)
+for i in range(5):
+    M[i] = base + 1e-4 * rng.standard_normal(d)
+ids = np.arange(m, dtype=np.int64)
+va, vb, cs = _verified_bucket_pairs(ids, M, 0.999, block_bytes=256 << 20)
+got = set(zip(va.tolist(), vb.tolist()))
+want = set()
+nrm = np.sqrt((M[:5] ** 2).sum(axis=1))
+S = (M[:5] @ M[:5].T) / np.outer(nrm, nrm)
+for i in range(5):
+    for j in range(i + 1, 5):
+        if S[i, j] >= 0.999:
+            want.add((i, j))
+assert want, "planted cluster produced no pairs"
+assert want <= got, (sorted(want - got)[:5], len(got))
+# no survivor may violate the guard
+assert (cs >= 0.999).all()
+print("OK", len(got))
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd="/root/repo", timeout=570,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.startswith("OK")

@@ -600,6 +600,124 @@ def fold_of(url: str) -> int:
     return int(h, 16) % N_FOLDS
 
 
+# ---------------------------------------------------------------------------
+# M4 ECN inference truth (reference semantics gcn/gcn_models.py:516-609:
+# per-layer FW + mean neighbour message passing, relu, softmax head).
+# Independent numpy forward pass over the PINNED trained weights
+# (truth/ecn_weights_<sf>.json): node features re-derived here from the
+# layout plan per the feature spec (Transformer_PageXml.py:67-141 +
+# host-repetition), edges from this file's own sweep truth. Only the
+# weight VALUES are shared with the pipeline — they are data, not code.
+# ---------------------------------------------------------------------------
+def ecn_scores_truth(
+    docs_regions: dict[str, list[dict]],
+    edge_rows: list[dict],
+    weights_path: str,
+) -> pd.DataFrame:
+    import math
+    import re
+
+    with open(weights_path) as f:
+        w = json.load(f)
+    mu = np.asarray(w["mu"], dtype=np.float64)
+    sigma = np.asarray(w["sigma"], dtype=np.float64)
+    ws = [np.asarray(x, dtype=np.float64) for x in w["ws"]]
+    w_out = np.asarray(w["w_out"], dtype=np.float64)
+
+    # corpus-level host-repetition tables (the cross-document features)
+    host_of = {url: url.split("/")[2] for url in docs_regions}
+    host_urls: dict[str, set] = {}
+    rep_urls: dict[tuple, set] = {}
+    for url, regions in docs_regions.items():
+        h = host_of[url]
+        host_urls.setdefault(h, set()).add(url)
+        for r in regions:
+            key = (h, hashlib.md5(r["text"].encode("utf-8")).hexdigest())
+            rep_urls.setdefault(key, set()).add(url)
+
+    # per-node incident g1 edge-type counts (both directions)
+    inc: dict[tuple, list[int]] = {}
+    g1_by_url: dict[str, list[tuple[str, str]]] = {}
+    for e in edge_rows:
+        if e["mode"] != "g1":
+            continue
+        g1_by_url.setdefault(e["url"], []).append((e["src"], e["dst"]))
+        for nid in (e["src"], e["dst"]):
+            c = inc.setdefault((e["url"], nid), [0, 0, 0])
+            if e["etype"] == "H":
+                c[0] += 1
+            elif e["etype"] == "V":
+                c[1] += 1
+            elif e["etype"] == "CP":
+                c[2] += 1
+
+    re_upper = re.compile("[A-Z]")
+    re_digit = re.compile("[0-9]")
+    re_all_digit = re.compile(r"^[0-9]+$")
+    re_title = re.compile(r"^([A-Z][a-z]*)( [A-Z][a-z]*)*$")
+
+    out = []
+    for url, regions in docs_regions.items():
+        n = len(regions)
+        feats = np.zeros((n, 25), dtype=np.float64)
+        idx: dict[str, int] = {}
+        h = host_of[url]
+        hn = max(len(host_urls[h]), 1)
+        for i, r in enumerate(regions):
+            idx[r["node_id"]] = i
+            pw, ph = r["page_w"], r["page_h"]
+            x1, y1, x2, y2 = r["x1"], r["y1"], r["x2"], r["y2"]
+            t = r["text"]
+            L = len(t)
+            nu = len(re_upper.findall(t))
+            nd = len(re_digit.findall(t))
+            rep = len(rep_urls[(h, hashlib.md5(t.encode("utf-8")).hexdigest())])
+            cH, cV, cCP = inc.get((url, r["node_id"]), (0, 0, 0))
+            pn, pc = r["page_num"], r["page_cnt"]
+            # NODE_FEATURE_COLS order (the scoring contract)
+            feats[i] = [
+                x1 / pw, y1 / ph, x2 / pw, y2 / ph,
+                (x2 - x1) / pw, (y2 - y1) / ph,
+                ((x2 - x1) * (y2 - y1)) / (pw * ph),
+                (x1 + x2) / (2.0 * pw), (y1 + y2) / (2.0 * ph),
+                1.0 if pn % 2 == 0 else 0.0,
+                1.0 if pn == 1 else 0.0,
+                1.0 if pn == 2 else 0.0,
+                1.0 if pn >= 3 else 0.0,
+                1.0 if pn == pc else 0.0,
+                float(L), float(t.count(" ")),
+                1.0 if re_all_digit.search(t) else 0.0,
+                1.0 if re_title.search(t) else 0.0,
+                (nu / L) if L else 0.0,
+                (nd / L) if L else 0.0,
+                float(cH), float(cV), float(cCP),
+                math.log(rep + 1.0), rep / hn,
+            ]
+        es = g1_by_url.get(url, [])
+        src = np.array([idx[s] for s, _ in es], dtype=np.int64)
+        dst = np.array([idx[d] for _, d in es], dtype=np.int64)
+        deg = np.zeros(n)
+        np.add.at(deg, src, 1.0)
+        np.add.at(deg, dst, 1.0)
+        deg = np.maximum(deg, 1.0)
+        hmat = (feats - mu) / sigma
+        for wmat in ws:
+            z = hmat @ wmat
+            msg = np.zeros_like(z)
+            np.add.at(msg, dst, z[src])
+            np.add.at(msg, src, z[dst])
+            hmat = np.maximum(z + msg / deg[:, None], 0.0)
+        logits = hmat @ w_out
+        logits -= logits.max(axis=1, keepdims=True)
+        e = np.exp(logits)
+        p = e / e.sum(axis=1, keepdims=True)
+        p1 = np.round(p[:, 1], 6)
+        out.append(
+            {"url": url, "n_scored": n, "n_main_pred": int((p1 >= 0.5).sum())}
+        )
+    return pd.DataFrame(out)
+
+
 def generate(sf_dir: str, out_dir: str) -> dict:
     docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
     node_rows: list[dict] = []
@@ -806,6 +924,13 @@ def generate(sf_dir: str, out_dir: str) -> dict:
     )
     region_rows = [r for r in node_rows if r["kind"] == "TextRegion"]
     chi2_truth(region_rows).to_parquet(os.path.join(out_dir, "chi2.parquet"), index=False)
+    wpath = os.path.join(
+        REPO, "truth", f"ecn_weights_{os.path.basename(out_dir.rstrip('/'))}.json"
+    )
+    if os.path.exists(wpath):
+        ecn_scores_truth(docs_regions, edge_rows, wpath).to_parquet(
+            os.path.join(out_dir, "ecn_scores.parquet"), index=False
+        )
     emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     ann_lsh_truth(emb).to_parquet(os.path.join(out_dir, "ann_lsh.parquet"), index=False)
     ann_ivf_truth(emb).to_parquet(os.path.join(out_dir, "ann_ivf.parquet"), index=False)

@@ -93,6 +93,13 @@ def ngram_jaccard_pairs(
     :func:`hot_shingles` (same predicate); ``log_dropped=True`` also
     counts and prints the dropped shingles eagerly (one extra job).
     Pass ``max_shingle_df=None`` to disable.
+
+    The registered DuckDB oracle mirrors the SAME cap (drop shingles
+    with df > 1000, sizes post-drop), so the gate stays exact at any
+    corpus scale, not only below the cap. :func:`minhash_lsh_pairs`
+    deliberately verifies with UNCAPPED plain Jaccard — per-candidate
+    verification has no hot-key join to guard — so the two surfaces
+    are different, documented measures once any shingle passes the cap.
     """
     sh = _shingles(docs, n)
     if max_shingle_df:
@@ -130,6 +137,17 @@ def ngram_jaccard_pairs(
 # deterministically so any shingle width hashes with its own constant.
 _TRIO_K = (0x1000193, 0x85EBCA77 % MERSENNE_P, 0xC2B2AE3D % MERSENNE_P)
 
+# Second independent constant family + modulus for the WIDE (62-bit)
+# shingle hash used by the verification stage: sh62 = sh1 * 2^31 + sh2
+# with sh1 mod (2^31-1) and sh2 mod p2 (another prime < 2^31), so two
+# distinct shingles collide only if BOTH mixes collide (~2^-62 per
+# pair). The 31-bit space is fine for candidate RECALL (collisions only
+# ever add candidates) but not for exact-Jaccard verification at web
+# scale: a megadoc pair with m ~ 1e6 shingles would see ~m^2/2^32 ~ 250
+# spurious intersections under 31 bits vs ~1e-7 expected under 62 bits.
+_P2 = 2147483629  # largest prime < 2^31 - 1
+_TRIO_K2 = (0x27D4EB2F % _P2, 0x9E3779B1 % _P2, 0x165667B1 % _P2)
+
 
 def _mix_constants(n: int) -> tuple[int, ...]:
     if n <= len(_TRIO_K):
@@ -139,6 +157,73 @@ def _mix_constants(n: int) -> tuple[int, ...]:
         for i in range(len(_TRIO_K), n)
     )
     return _TRIO_K + extra
+
+
+def _mix_constants2(n: int) -> tuple[int, ...]:
+    if n <= len(_TRIO_K2):
+        return _TRIO_K2[:n]
+    extra = tuple(
+        ((0xC2B2AE3D27D4EB4F * (2 * i + 1)) % _P2) | 1
+        for i in range(len(_TRIO_K2), n)
+    )
+    return _TRIO_K2 + extra
+
+
+def shingle_hash_sets(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Per-doc SORTED distinct 62-bit shingle-hash array + set size.
+
+    Map-only Arrow kernel (same token-md5 memoisation as
+    :func:`minhash_signatures`): each token hashes once per distinct
+    token per batch, each n-gram mixes to TWO independent 31-bit values
+    (two constant families, two moduli) packed into one int64. The
+    output is the exact-set surface the MinHash verification intersects
+    — int64 arrays, never string arrays, and never an exploded-shingle
+    shuffle. |set| equals the distinct STRING shingle count unless both
+    31-bit mixes collide for two distinct shingles of one doc
+    (P ~ m^2 / 2^63 per doc — negligible even for megadocs), which is
+    why the DuckDB string-set oracle stays hash-exact over this path.
+    """
+    import hashlib
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ks1 = _mix_constants(n)
+    ks2 = _mix_constants2(n)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            memo: dict[str, int] = {}
+            ids, sets, sizes = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = (text or "").split(" ")
+                if len(toks) < n:
+                    continue
+                th = np.empty(len(toks), dtype=np.int64)
+                for i, t in enumerate(toks):
+                    h = memo.get(t)
+                    if h is None:
+                        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                        memo[t] = h
+                    th[i] = h
+                m = len(toks) - n + 1
+                th1 = th % MERSENNE_P
+                th2 = th % _P2
+                sh1 = np.zeros(m, dtype=np.int64)
+                sh2 = np.zeros(m, dtype=np.int64)
+                for j in range(n):
+                    sh1 = (sh1 + th1[j : j + m] * ks1[j]) % MERSENNE_P
+                    sh2 = (sh2 + th2[j : j + m] * ks2[j]) % _P2
+                wide = np.unique((sh1 << 31) + sh2)
+                ids.append(doc_id)
+                sets.append(wide)
+                sizes.append(len(wide))
+            yield pd.DataFrame({"doc_id": ids, "sh": sets, "sz": sizes})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, sh array<long>, sz long"
+    )
 
 
 def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
@@ -212,7 +297,12 @@ def minhash_lsh_pairs(
 
     Banding: 16 bands of 4 rows; candidates = pairs sharing any band
     bucket (shuffle once on the band hash — the sub-quadratic scale
-    path); then exact Jaccard is computed only for candidates.
+    path); then exact Jaccard is computed only for candidates, from
+    62-bit shingle-hash sets in one numpy intersect kernel (see the
+    verify block below). Unlike :func:`ngram_jaccard_pairs` this is
+    PLAIN set Jaccard — no hot-shingle cap — because per-candidate
+    verification never self-joins the inverted index, so boilerplate
+    shingles cannot blow it up.
 
     Recall contract: 16x4 banding detects a pair at jaccard j with
     probability 1-(1-j^4)^16 (~98.8% at the 0.7 threshold, ->1 above
@@ -245,20 +335,57 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Verify candidates with exact Jaccard on distinct shingle sets.
-    sets = _shingles(docs, n).groupBy("doc_id").agg(F.collect_set("shingle").alias("s"))
-    verified = (
-        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")), "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
-        .withColumn(
+    # Verify candidates with exact Jaccard on 62-bit shingle-hash sets.
+    # Shape (the same family that fixed the embedding verify): hash sets
+    # are computed MAP-ONLY and only for docs that appear in a candidate
+    # pair (left-semi prune before the kernel — at threshold 0.7 the
+    # candidate docs are a small fraction of the corpus), the two set
+    # joins carry compact int64 arrays on scalar keys, and each batch of
+    # candidate pairs intersects with ONE Arrow kernel (sorted-array
+    # np.intersect1d, C speed) instead of interpreted per-pair
+    # ``array_intersect`` over string arrays. The old path additionally
+    # paid an exploded-shingle shuffle + collect_set over EVERY doc.
+    cd = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = shingle_hash_sets(docs.join(cd, "doc_id", "left_semi"), n)
+    joined = (
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"),
+                        F.col("sz").alias("sza")), "doc_a")
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"),
+                        F.col("sz").alias("szb")), "doc_b")
+    )
+
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    def intersect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            inter = [
+                int(np.intersect1d(sa, sb, assume_unique=True).size)
+                for sa, sb in zip(pdf["sa"], pdf["sb"])
+            ]
+            yield pd.DataFrame(
+                {"doc_a": pdf["doc_a"], "doc_b": pdf["doc_b"],
+                 "inter": inter, "sza": pdf["sza"], "szb": pdf["szb"]}
+            )
+
+    counted = joined.mapInPandas(
+        intersect, schema="doc_a long, doc_b long, inter long, sza long, szb long"
+    )
+    return (
+        counted.withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.size("sa") + F.size("sb") - F.col("inter")), 6),
+            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return verified
 
 
 def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
@@ -404,7 +531,8 @@ def _cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def embedding_near_dups(embeddings: DataFrame, threshold: float = COSINE_DUP_THRESHOLD) -> DataFrame:
+def embedding_near_dups(embeddings: DataFrame, threshold: float = COSINE_DUP_THRESHOLD,
+                        n_vectors: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b).
 
     Scale shape: random-hyperplane LSH buckets (24 tables x 3 planes —
@@ -415,8 +543,14 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = COSINE_DUP_THR
     ~1 - 5e-4 per pair analytically; measured 100% of brute-force pairs
     at sf0.001/sf0.01/sf0.1 (locked by tests/test_ops.py) — the same
     verified-empirical contract the MinHash-LSH path carries.
+
+    Pass ``n_vectors`` (a cheap ``count()`` at the call site) at scale:
+    the config rule then deepens hashes / raises tables so bucket
+    occupancy stays bounded as the corpus grows (see
+    ``similarity.neardup_config``); the per-bucket verify is
+    memory-blocked either way.
     """
     from .similarity import lsh_bucket_verified_pairs, neardup_config
 
-    n_tables, n_planes = neardup_config(threshold)
+    n_tables, n_planes = neardup_config(threshold, n_vectors=n_vectors)
     return lsh_bucket_verified_pairs(embeddings, threshold, n_tables, n_planes)

@@ -51,6 +51,17 @@ NEARDUP_DEEP_PLANES = 7
 
 NEARDUP_MISS_TARGET = 1e-3
 
+# Occupancy / cost bounds for the N-aware config rule. Buckets hold
+# ~N/2^P vectors; verification cost per bucket is O(occupancy^2) dots
+# (blocked, so memory is bounded — see _verified_bucket_pairs — but
+# FLOPs are not). Above MAX_BUCKET_OCCUPANCY the rule deepens hashes
+# and compensates with MORE TABLES to keep the analytic miss bound,
+# up to NEARDUP_MAX_TABLES (beyond that the threshold is intrinsically
+# too low for sub-quadratic LSH and candidate volume grows regardless —
+# documented, not silent: see neardup_config).
+MAX_BUCKET_OCCUPANCY = 8192
+NEARDUP_MAX_TABLES = 256
+
 
 def neardup_planes(
     threshold: float,
@@ -90,8 +101,37 @@ def neardup_planes(
 def neardup_config(threshold: float, n_vectors: int | None = None) -> tuple[int, int]:
     """(n_tables, n_planes) for a target cosine threshold. Depth comes
     from the adaptive rule; 0.45 -> 3 planes and 0.85 -> 7 planes keep
-    the round-2 recall-measured configurations exactly."""
-    return (NEARDUP_TABLES, neardup_planes(threshold, n_vectors=n_vectors))
+    the round-2 recall-measured configurations exactly.
+
+    With ``n_vectors`` the rule is additionally OCCUPANCY-AWARE at the
+    large end: when expected bucket occupancy N/2^P exceeds
+    ``MAX_BUCKET_OCCUPANCY`` (per-bucket verify FLOPs grow with
+    occupancy^2), hashes deepen to restore the bound and tables rise to
+    keep the analytic per-pair miss <= NEARDUP_MISS_TARGET:
+    miss = (1 - p^P)^T  =>  T = ceil(ln(miss) / ln(1 - p^P)).
+    Tables are capped at NEARDUP_MAX_TABLES; if the cap binds, depth
+    backs off to the deepest P the capped table count can afford — the
+    honest statement that low-threshold near-dup over near-orthogonal
+    vectors is intrinsically near-quadratic (you can bound memory, via
+    the blocked verify, but not candidate volume). The previous rule
+    only ever capped depth DOWN for small corpora, so bucket occupancy
+    grew linearly with corpus size at fixed depth."""
+    import math
+
+    planes = neardup_planes(threshold, n_vectors=n_vectors)
+    tables = NEARDUP_TABLES
+    if n_vectors and n_vectors / (1 << planes) > MAX_BUCKET_OCCUPANCY:
+        p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+        want = max(planes, int(math.ceil(math.log2(n_vectors / MAX_BUCKET_OCCUPANCY))))
+        # deepest P whose required table count stays under the cap
+        for cand_p in range(want, planes - 1, -1):
+            need = math.ceil(
+                math.log(NEARDUP_MISS_TARGET) / math.log(1.0 - p ** cand_p)
+            )
+            if need <= NEARDUP_MAX_TABLES:
+                planes, tables = cand_p, max(NEARDUP_TABLES, int(need))
+                break
+    return (tables, planes)
 
 IVF_CELLS = 16
 IVF_PROBE = 4
@@ -100,37 +140,6 @@ IVF_ITERS = 3
 
 def embeddings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-
-
-def cosine_pairs_udf():
-    """Exact pairwise cosine of two array<double> columns as ONE Arrow
-    kernel per batch: row-wise einsum dots + norms over stacked (n x d)
-    matrices. This is the exact-verification stage behind every ANN /
-    near-dup candidate set — replacing the per-candidate interpreted
-    Catalyst HOF fold (``dedup._dot``), which is ~100x slower for
-    many-dot workloads (same measurement that motivated
-    ``_buckets_udf``).
-
-    Value safety: numpy pairwise summation and the left fold can differ
-    only by ~1e-15 relative noise; callers round to 6 decimals with JVM
-    ``F.round`` AFTER this kernel (never inside it), so Spark's
-    HALF_UP-on-shortest-repr semantics are preserved bit-for-bit, and
-    the sidecar/DuckDB oracles stay hash-green (locked by
-    tests + tools/check_oracles.py).
-    """
-
-    @F.pandas_udf("double")
-    def f(va: pd.Series, vb: pd.Series) -> pd.Series:
-        if not len(va):
-            return pd.Series([], dtype="float64")
-        ma = np.stack([np.asarray(x, dtype=np.float64) for x in va])
-        mb = np.stack([np.asarray(x, dtype=np.float64) for x in vb])
-        dots = np.einsum("ij,ij->i", ma, mb)
-        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
-        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
-        return pd.Series(dots / (na * nb))
-
-    return f
 
 
 def knn_bruteforce(
@@ -313,7 +322,15 @@ def ivf_knn(
     """IVF ANN: probe the n_probe nearest cells per query, exact cosine
     re-rank inside. One equi-join on cell — never a full cross join.
     Probe lists are computed as column expressions against the broadcast
-    centroid literals, so the query side stays fully distributed."""
+    centroid literals, so the query side stays fully distributed.
+
+    Re-rank shape: queries and members cogroup per cell and score with
+    ONE blocked (Q_c x d) @ (d x m_c) BLAS matmul per cell (the same
+    fused kernel as :func:`ann_lsh`) — vectors cross the Arrow boundary
+    once per cell, the pair stream carries scalars only, and the
+    per-cell top-k prune bounds output rows. Each vector lives in
+    exactly one cell, so no cross-table dedup is needed before the
+    global rank."""
     cents, assigned = ivf_fit(embeddings, n_cells)
     dist_structs = F.array(
         *[
@@ -327,9 +344,22 @@ def ivf_knn(
             F.transform(F.slice(F.array_sort(dist_structs), 1, n_probe), lambda s: s["ci"])
         ),
     )
-    cand = probe.join(assigned, "cell").filter(F.col("query_id") != F.col("vec_id"))
-    scored = cand.withColumn(
-        "cosine", F.round(cosine_pairs_udf()(F.col("qv"), F.col("v")), 6)
+
+    def score(key, qs: pd.DataFrame, ms: pd.DataFrame) -> pd.DataFrame:
+        if not len(qs) or not len(ms):
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
+        Q = np.stack([np.asarray(x, dtype=np.float64) for x in qs["qv"]])
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in ms["v"]])
+        qid, vid, cs = _scored_query_pairs(
+            qs["query_id"].to_numpy(), Q, ms["vec_id"].to_numpy(), M, k=k
+        )
+        return pd.DataFrame({"query_id": qid, "vec_id": vid, "cosine": cs})
+
+    scored = (
+        probe.groupBy("cell")
+        .cogroup(assigned.groupBy("cell"))
+        .applyInPandas(score, "query_id long, vec_id long, cosine double")
+        .withColumn("cosine", F.round("cosine", 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -337,6 +367,49 @@ def ivf_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+# Memory budget for ONE scratch stripe of a blocked bucket matmul.
+# Per-bucket verify memory is O(chunk * m) doubles + the (m x d) member
+# matrix + survivors — NEVER O(m^2), so a pathological hot bucket (all
+# vectors in one bucket) degrades to more FLOP passes, not an OOM.
+VERIFY_BLOCK_BYTES = 64 * 1024 * 1024
+
+
+def _verified_bucket_pairs(
+    ids: np.ndarray, M: np.ndarray, guard: float,
+    block_bytes: int = VERIFY_BLOCK_BYTES,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact-cosine survivor pairs (a < b by position) for one bucket's
+    member matrix, BLOCKED: the m x m similarity matrix is never
+    materialized — row stripes of ``chunk = block_bytes / (8 * m)`` rows
+    are scored per BLAS matmul, masked to the upper triangle, filtered
+    at ``guard``, and only survivors accumulate. ``ids`` must be sorted
+    ascending so (a, b) position order is id order. Bitwise-identical
+    values to the unblocked ``(M @ M.T) / outer(nrm, nrm)`` form: dgemm
+    row blocking changes neither per-element dot products nor the
+    dot-then-divide op order the oracles mirror."""
+    m = len(ids)
+    nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
+    chunk = max(1, int(block_bytes // (8 * m)))
+    col = np.arange(m)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    for lo in range(0, m - 1, chunk):
+        hi = min(lo + chunk, m)
+        # (chunk, m) stripe — bounded scratch
+        S = (M[lo:hi] @ M.T) / np.outer(nrm[lo:hi], nrm)
+        keep = (S >= guard) & (col[None, :] > np.arange(lo, hi)[:, None])
+        ia, ib = np.nonzero(keep)
+        if len(ia):
+            out_a.append(ids[ia + lo])
+            out_b.append(ids[ib])
+            out_c.append(S[ia, ib])
+    if not out_a:
+        z = np.array([], dtype=np.int64)
+        return z, z.copy(), np.array([], dtype=np.float64)
+    return np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_c)
 
 
 def lsh_bucket_verified_pairs(
@@ -369,20 +442,13 @@ def lsh_bucket_verified_pairs(
     guard = float(threshold) - 1e-6
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        if m < 2:
+        if len(pdf) < 2:
             return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
         order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
         ids = pdf["vec_id"].to_numpy()[order]
         M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"].to_numpy()[order]])
-        nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
-        S = (M @ M.T) / np.outer(nrm, nrm)
-        ia, ib = np.triu_indices(m, 1)  # ids sorted -> vec_a < vec_b
-        vals = S[ia, ib]
-        keep = vals >= guard
-        return pd.DataFrame(
-            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]], "cosine": vals[keep]}
-        )
+        va, vb, cs = _verified_bucket_pairs(ids, M, guard)
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cosine": cs})
 
     pairs = b_rows.groupBy("tbl", "bkt").applyInPandas(
         verify, "vec_a long, vec_b long, cosine double"
@@ -393,6 +459,48 @@ def lsh_bucket_verified_pairs(
         .groupBy("vec_a", "vec_b")
         .agg(F.max("cosine").alias("cosine"))
     )
+
+
+def _scored_query_pairs(
+    qids: np.ndarray, Q: np.ndarray, mids: np.ndarray, M: np.ndarray,
+    k: int | None = None, block_bytes: int = VERIFY_BLOCK_BYTES,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(query, member) cosine pairs for one bucket, self-pairs dropped,
+    BLOCKED over query rows so scratch stays O(chunk * m) — same bound
+    as :func:`_verified_bucket_pairs` (a hot bucket costs passes, not
+    memory). Identical dot-then-divide op order.
+
+    With ``k``, each query emits only pairs within 1e-6 of its k-th best
+    raw cosine in this bucket, bounding OUTPUT (not just scratch) to
+    ~k rows/query. Lossless for the final top-k: an excluded pair has
+    raw < kth - 1e-6; JVM round(6) moves any value by < 5e-7, so after
+    rounding it is STRICTLY below k retained pairs and can never enter
+    the global top-k under (cosine desc, vec_id asc) — including every
+    round-to-equal tie at the boundary, which the 1e-6 margin retains."""
+    m = len(mids)
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    mn = np.sqrt(np.einsum("ij,ij->i", M, M))
+    chunk = max(1, int(block_bytes // (8 * m)))
+    out_q: list[np.ndarray] = []
+    out_v: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    for lo in range(0, len(qids), chunk):
+        hi = min(lo + chunk, len(qids))
+        S = (Q[lo:hi] @ M.T) / np.outer(qn[lo:hi], mn)
+        nonself = qids[lo:hi, None] != mids[None, :]
+        keep = nonself
+        if k is not None and m > k:
+            masked = np.where(nonself, S, -np.inf)
+            kth = np.partition(masked, m - k, axis=1)[:, m - k]
+            keep = nonself & (S >= kth[:, None] - 1e-6)
+        ia, ib = np.nonzero(keep)
+        out_q.append(qids[lo + ia])
+        out_v.append(mids[ib])
+        out_c.append(S[ia, ib])
+    if not out_q:
+        z = np.array([], dtype=np.int64)
+        return z, z.copy(), np.array([], dtype=np.float64)
+    return np.concatenate(out_q), np.concatenate(out_v), np.concatenate(out_c)
 
 
 def lsh_candidate_pairs(
@@ -445,15 +553,10 @@ def ann_lsh(
             return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
         Q = np.stack([np.asarray(x, dtype=np.float64) for x in qs["qv"]])
         M = np.stack([np.asarray(x, dtype=np.float64) for x in ms["v"]])
-        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
-        mn = np.sqrt(np.einsum("ij,ij->i", M, M))
-        S = (Q @ M.T) / np.outer(qn, mn)
-        qid = np.repeat(qs["query_id"].to_numpy(), len(ms))
-        vid = np.tile(ms["vec_id"].to_numpy(), len(qs))
-        keep = qid != vid
-        return pd.DataFrame(
-            {"query_id": qid[keep], "vec_id": vid[keep], "cosine": S.ravel()[keep]}
+        qid, vid, cs = _scored_query_pairs(
+            qs["query_id"].to_numpy(), Q, ms["vec_id"].to_numpy(), M, k=k
         )
+        return pd.DataFrame({"query_id": qid, "vec_id": vid, "cosine": cs})
 
     scored = (
         q_rows.groupBy("tbl", "bkt")
