@@ -11,8 +11,15 @@ Protocol details for fair N-vs-4N comparison:
   byte-identical input;
 - SPARK_GRAFT_BENCH_MULT (default 10) amplifies the corpus so jobs are
   compute-bound, not startup-bound;
-- each query runs twice and reports the second (steady-state) time, so
-  JIT/codegen/page-cache warmup does not pollute the scaling ratio.
+- each query runs warmup + SPARK_GRAFT_BENCH_RUNS (default 3) timed
+  runs; the headline number is the MEDIAN, with per-query min and the
+  full spread also reported so one GC/IO spike cannot masquerade as a
+  regression (round-3 saw a 6.2/6.5/30.1 s spread on one query);
+- solo-run guard: if the 1-minute load average says the machine is
+  busy, the bench WAITS (up to SPARK_GRAFT_BENCH_WAIT_S, default 120 s)
+  for it to drain and records the load it started at — concurrent work
+  measurably pollutes timings (a concurrent pytest once made q9 look
+  2x worse).
 """
 
 from __future__ import annotations
@@ -46,6 +53,25 @@ DEDUP_MULT = int(os.environ.get("SPARK_GRAFT_DEDUP_MULT", str(min(MULT, 20))))
 ANN_MULT = int(os.environ.get("SPARK_GRAFT_ANN_MULT", str(min(MULT, 10))))
 PAGES_DIR = os.environ.get("SPARK_GRAFT_PAGES_DIR", "")
 SNAPSHOT_PARTITIONS = 64
+BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+BENCH_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "120"))
+# a busy box pollutes timings; "idle enough" = 1-min load below 1/4 of
+# the bench's own core count
+LOAD_IDLE_THRESHOLD = max(2.0, CPUS / 4.0)
+
+
+def _wait_for_idle() -> float:
+    """Block until the 1-minute load average drops below the idle
+    threshold (or the wait budget runs out). Returns the load at start
+    of timing, which is recorded in the output JSON."""
+    deadline = time.monotonic() + BENCH_WAIT_S
+    load = os.getloadavg()[0]
+    while load > LOAD_IDLE_THRESHOLD and time.monotonic() < deadline:
+        print(f"bench: load {load:.1f} > {LOAD_IDLE_THRESHOLD:.1f}, waiting...",
+              file=sys.stderr)
+        time.sleep(10)
+        load = os.getloadavg()[0]
+    return load
 
 
 def main() -> None:
@@ -74,13 +100,21 @@ def main() -> None:
         pages = spark.read.parquet(pages_path)
         n_docs = pages.count()
 
+        start_load = _wait_for_idle()
         timings: dict[str, float] = {}
+        timings_min: dict[str, float] = {}
+        timings_runs: dict[str, list[float]] = {}
 
         def timed(name: str, fn) -> None:
             fn()  # warmup: JIT, codegen cache, page cache
-            t0 = time.monotonic()
-            fn()
-            timings[name] = round(time.monotonic() - t0, 3)
+            runs = []
+            for _ in range(BENCH_RUNS):
+                t0 = time.monotonic()
+                fn()
+                runs.append(round(time.monotonic() - t0, 3))
+            timings[name] = sorted(runs)[len(runs) // 2]  # median
+            timings_min[name] = min(runs)
+            timings_runs[name] = runs
 
         # Dedup inputs are amplified like the pages snapshot (vocabulary
         # renaming preserves within-replica pair structure exactly), and
@@ -148,6 +182,10 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "queries_min": timings_min,
+            "queries_runs": timings_runs,
+            "runs_per_query": BENCH_RUNS,
+            "start_load": round(start_load, 2),
             "sf": sf,
             "docs": n_docs,
             "dedup_docs": n_amp_docs,

@@ -266,13 +266,13 @@ def test_forced_hot_bucket_blocked_verify():
     code = r"""
 import resource, sys
 import numpy as np
-# cap address space at 3 GiB: the unblocked 220k x 220k double matrix
-# alone would need ~360 GiB, so only a blocked verify can pass
+# cap address space at 3 GiB: the unblocked 200k x 200k double matrix
+# alone would need ~320 GiB, so only a blocked verify can pass
 resource.setrlimit(resource.RLIMIT_AS, (3 << 30, 3 << 30))
 from transkribusdu_spark.ops.similarity import _verified_bucket_pairs
 
 rng = np.random.default_rng(7)
-m, d = 220_000, 8
+m, d = 200_000, 8
 M = rng.standard_normal((m, d))
 # plant a tight cluster: 5 vectors almost identical
 base = rng.standard_normal(d)
@@ -300,3 +300,29 @@ print("OK", len(got))
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert r.stdout.startswith("OK")
+
+
+def test_shingle_hash_sets_match_string_sets(spark, docs):
+    """De-risks the shingle-hash space: the 62-bit two-mix hash sets the
+    MinHash verify intersects must reproduce string-set sizes AND
+    pairwise intersections exactly (collision bound ~m^2/2^63 per doc;
+    a 31-bit single mix would break this at megadoc scale with
+    ~m^2/2^32 spurious intersections)."""
+    from transkribusdu_spark.ops.dedup import shingle_hash_sets
+
+    pdf = docs.limit(80).toPandas()
+    hs = {r["doc_id"]: set(r["sh"]) for r in
+          shingle_hash_sets(docs.limit(80)).collect()}
+    ss = {}
+    for r in pdf.itertuples():
+        toks = r.text.split(" ")
+        if len(toks) < 3:
+            continue
+        ss[r.doc_id] = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    assert set(hs) == set(ss)
+    for did in ss:
+        assert len(hs[did]) == len(ss[did]), did
+    ids = sorted(ss)
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        assert len(hs[a] & hs[b]) == len(ss[a] & ss[b]), (a, b)

@@ -75,27 +75,33 @@ class BoxPartition:
 
 
 def page_cut_rows(boxes: list[tuple[float, float, float, float]], page_w: float) -> list[dict]:
-    """All valid full-width horizontal cuts for one page's boxes, via the
-    C8 partition queries: candidate cut y = midpoint of every gap in the
-    running union of y-intervals (sort by y1, running max y2), validated
-    with :meth:`BoxPartition.is_valid_cut`, and the partition counted
-    with :meth:`above_line` / :meth:`below_line`. Deterministic; the
-    DuckDB oracle reproduces it with a window-function gap scan."""
+    """All valid full-width horizontal cuts for one page's boxes: cut
+    y = midpoint of every gap in the running union of y-intervals (sort
+    by y1, running max y2). The partition is counted FROM THE GAP SCAN
+    itself — every earlier box ends above the gap, every later box
+    starts below it, so ``n_above = i`` positionally, exactly the
+    window-function gap scan the DuckDB oracle runs (a box lying
+    outside the page's x-range counts like any other; the previous
+    half-plane count excluded it and could diverge from the oracle).
+    Each row carries a ``check_ok`` cross-check against the
+    :meth:`BoxPartition.is_valid_cut` interval algebra — disagreement
+    is routed to the :func:`cut_check_failures` audit channel by
+    callers, never raised inside an executor."""
     bs = sorted(boxes, key=lambda b: (b[1], b[3], b[0]))  # by y1, y2, x1
     bp = BoxPartition([(b[0], b[1], b[2], b[3]) for b in bs])
+    n = len(bs)
     out: list[dict] = []
     runmax = None
     for i, b in enumerate(bs):
         if i > 0 and b[1] > runmax:
             cut_y = (runmax + b[1]) / 2.0
-            if not bp.is_valid_cut(0.0, cut_y, page_w, cut_y):
-                raise AssertionError(f"gap midpoint {cut_y} not a valid cut")
             out.append(
                 {
                     "cut_idx": len(out),
                     "cut_y": cut_y,
-                    "n_above": len(bp.above_line(0.0, cut_y, page_w, cut_y)),
-                    "n_below": len(bp.below_line(0.0, cut_y, page_w, cut_y)),
+                    "n_above": i,
+                    "n_below": n - i,
+                    "check_ok": bool(bp.is_valid_cut(0.0, cut_y, page_w, cut_y)),
                 }
             )
         runmax = b[3] if runmax is None else max(runmax, b[3])
@@ -126,7 +132,38 @@ def valid_horizontal_cuts(nodes) -> "DataFrame":  # noqa: F821
             pw = float(g["page_w"].iloc[0])
             boxes = list(zip(g["x1"], g["y1"], g["x2"], g["y2"]))
             for r in page_cut_rows(boxes, pw):
+                r.pop("check_ok")
                 rows.append({"url": url, "page_num": int(pnum), **r})
+        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    src = nodes.select("url", "page_num", "page_w", "x1", "y1", "x2", "y2")
+    return src.groupBy("url").applyInPandas(run, schema=schema)
+
+
+def cut_check_failures(nodes) -> "DataFrame":  # noqa: F821
+    """Audit channel (same contract as parse_errors): one row per cut
+    whose BoxPartition interval-algebra cross-check disagrees with the
+    gap scan. Empty = the two formulations agree; disagreements surface
+    here instead of failing the whole job inside an executor."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("page_num", T.IntegerType()),
+            T.StructField("cut_y", T.DoubleType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows: list[dict] = []
+        for (url, pnum), g in pdf.groupby(["url", "page_num"]):
+            pw = float(g["page_w"].iloc[0])
+            boxes = list(zip(g["x1"], g["y1"], g["x2"], g["y2"]))
+            for r in page_cut_rows(boxes, pw):
+                if not r["check_ok"]:
+                    rows.append({"url": url, "page_num": int(pnum), "cut_y": r["cut_y"]})
         return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     src = nodes.select("url", "page_num", "page_w", "x1", "y1", "x2", "y2")

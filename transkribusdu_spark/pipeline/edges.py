@@ -303,26 +303,27 @@ def edges_from_pages(pages: DataFrame, mode: str = "g1") -> DataFrame:
     Each pages row is a complete document, so edges never need a shuffle
     at all — this is the scale path (build_edges on a nodes table costs
     an extra hash exchange plus per-group overhead)."""
-    from .parse import parse_doc
+    from .parse import MAX_NODES_PER_DOC, parse_doc_cols
 
     def run(batches):
         for pdf in batches:
             out = _empty_out()
             for url, html in zip(pdf["url"], pdf["html"]):
                 try:
-                    rows = parse_doc(url, bytes(html))
+                    dc = parse_doc_cols(url, bytes(html))
                 except Exception:
                     continue
-                if not rows:
+                if not dc["node_id"]:
                     continue
+                cap = MAX_NODES_PER_DOC
                 doc_edges_arrays(
                     url,
-                    np.array([r["node_id"] for r in rows]),
-                    np.array([r["page_num"] for r in rows]),
-                    np.array([r["x1"] for r in rows], dtype=np.float64),
-                    np.array([r["y1"] for r in rows], dtype=np.float64),
-                    np.array([r["x2"] for r in rows], dtype=np.float64),
-                    np.array([r["y2"] for r in rows], dtype=np.float64),
+                    np.array(dc["node_id"][:cap]),
+                    np.array(dc["page_num"][:cap]),
+                    np.array(dc["x1"][:cap], dtype=np.float64),
+                    np.array(dc["y1"][:cap], dtype=np.float64),
+                    np.array(dc["x2"][:cap], dtype=np.float64),
+                    np.array(dc["y2"][:cap], dtype=np.float64),
                     out,
                     mode=mode,
                 )

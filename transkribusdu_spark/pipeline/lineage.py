@@ -66,6 +66,7 @@ def run_with_lineage(
     out_dir: str,
     run_id: str,
     input_snapshot: str = "parquet",
+    overflows: DataFrame | None = None,
 ) -> None:
     """Write extracted output + lineage rows under ``out_dir``.
 
@@ -73,7 +74,12 @@ def run_with_lineage(
     re-reading ONLY this run's increment from disk — so (a) checksums
     cover the bytes that actually landed, and (b) resumed runs never
     double-count earlier runs' documents in the lineage table (each
-    document is counted by exactly one run_id)."""
+    document is counted by exactly one run_id).
+
+    ``overflows`` (``parse.parse_overflows`` output) records the
+    giant-document truncations of this run in an ``overflows`` table
+    beside the lineage — the flag that says "this url's output is the
+    HEAD of the document, not all of it"."""
     ext_path = os.path.join(out_dir, "extracted")
     extracted.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(ext_path)
     increment = (
@@ -83,6 +89,10 @@ def run_with_lineage(
     )
     lin = with_lineage(increment, run_id, input_snapshot)
     lin.write.mode("append").parquet(os.path.join(out_dir, "lineage"))
+    if overflows is not None:
+        overflows.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
+            os.path.join(out_dir, "overflows")
+        )
 
 
 def pending_pages(spark: SparkSession, pages: DataFrame, out_dir: str) -> DataFrame:

@@ -254,6 +254,14 @@ def fit_lda_params(nodes: DataFrame, label_col: str = "label") -> dict:
         aggs.append(F.sum(c).alias(f"s_{c}"))
         aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"q_{c}"))
     rows = {r["y"]: r for r in ft.groupBy("y").agg(*aggs).collect()}
+    if 0 not in rows or 1 not in rows:
+        present = sorted(rows)
+        raise ValueError(
+            "fit_lda_params needs both classes present (main-content and "
+            f"non-main nodes); got only y={present}. A single-class corpus "
+            "has no discriminative direction — filter upstream or use a "
+            "prior-only classifier."
+        )
     n0, n1 = float(rows[0]["n"]), float(rows[1]["n"])
     ws, mid = [], []
     for c in LDA_FEATURES:

@@ -33,13 +33,22 @@ def _read_store(spark: SparkSession, path: str) -> DataFrame | None:
     version-less schema are upgraded on the fly: legacy rows count as
     version 0 so a new save appends version 1 above them."""
     try:
-        df = spark.read.parquet(path)
+        # mergeSchema: a legacy store holds version-less files next to
+        # new versioned appends; without it the inferred schema depends
+        # on which footer Spark samples and the version column could
+        # silently vanish from a later read.
+        df = spark.read.option("mergeSchema", "true").parquet(path)
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             return None
         raise
     if "version" not in df.columns:
         df = df.withColumn("version", F.lit(0).cast("long"))
+    else:
+        # merged mixed-schema store: legacy rows surface as NULL version
+        df = df.withColumn(
+            "version", F.coalesce(F.col("version").cast("long"), F.lit(0))
+        )
     return df
 
 
