@@ -483,35 +483,37 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, bits: int = 60) ->
     n_chunks, chunk = 5, 12  # 60 bits -> 5 chunks of 12; floor(9/5) = 1 flip
 
     def chunk_val(i):
-        return F.shiftright("simhash", i * chunk).bitwiseAND(F.lit((1 << chunk) - 1))
+        # packed join key: chunk index in the high bits, chunk value low
+        # — ONE int column through the shuffle instead of (ci, key)
+        return F.shiftright("simhash", i * chunk).bitwiseAND(
+            F.lit((1 << chunk) - 1)
+        ).bitwiseOR(F.lit(i << chunk))
 
     exact = sig.select(
         "doc_id", "simhash",
-        F.explode(
-            F.array(*[F.struct(F.lit(i).alias("ci"), chunk_val(i).alias("key"))
-                      for i in range(n_chunks)])
-        ).alias("c"),
-    ).select("doc_id", "simhash", "c.ci", "c.key")
+        F.explode(F.array(*[chunk_val(i) for i in range(n_chunks)])).alias("key"),
+    )
     expanded = sig.select(
         "doc_id", "simhash",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(i).alias("ci"),
-                    (chunk_val(i).bitwiseXOR(F.lit(1 << j)) if j < chunk else chunk_val(i)).alias("key"),
-                )
+                (chunk_val(i).bitwiseXOR(F.lit(1 << j)) if j < chunk else chunk_val(i))
                 for i in range(n_chunks)
                 for j in range(chunk + 1)
             ])
-        ).alias("c"),
-    ).select("doc_id", "simhash", "c.ci", "c.key")
+        ).alias("key"),
+    )
+    # The match relation is SYMMETRIC (chunk distance <= 1: either both
+    # exact values agree, or x's exact equals one of y's 1-bit flips AND
+    # vice versa), so restricting to doc_id < doc_id loses no pair and
+    # halves the rows entering the dedup shuffle.
     joined = (
         exact.alias("x")
-        .join(expanded.alias("y"), ["ci", "key"])
-        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .join(expanded.alias("y"), "key")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
-            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
-            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
             F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)  # map-side, pre-shuffle
