@@ -15,11 +15,12 @@ Protocol details for fair N-vs-4N comparison:
   runs; the headline number is the MEDIAN, with per-query min and the
   full spread also reported so one GC/IO spike cannot masquerade as a
   regression (round-3 saw a 6.2/6.5/30.1 s spread on one query);
-- solo-run guard: if the 1-minute load average says the machine is
-  busy, the bench WAITS (up to SPARK_GRAFT_BENCH_WAIT_S, default 120 s)
-  for it to drain and records the load it started at — concurrent work
-  measurably pollutes timings (a concurrent pytest once made q9 look
-  2x worse).
+- solo-run guard: if measured CPU busy fraction (/proc/stat — load
+  average idles at 3-12 on this virtualized box and gates nothing)
+  says the machine is busy, the bench WAITS (up to
+  SPARK_GRAFT_BENCH_WAIT_S, default 120 s) for it to drain and records
+  the busy fraction it started at — concurrent work measurably
+  pollutes timings (a concurrent pytest once made q9 look 2x worse).
 """
 
 from __future__ import annotations
@@ -53,25 +54,43 @@ DEDUP_MULT = int(os.environ.get("SPARK_GRAFT_DEDUP_MULT", str(min(MULT, 20))))
 ANN_MULT = int(os.environ.get("SPARK_GRAFT_ANN_MULT", str(min(MULT, 10))))
 PAGES_DIR = os.environ.get("SPARK_GRAFT_PAGES_DIR", "")
 SNAPSHOT_PARTITIONS = 64
-BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 BENCH_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "120"))
-# a busy box pollutes timings; "idle enough" = 1-min load below 1/4 of
-# the bench's own core count
-LOAD_IDLE_THRESHOLD = max(2.0, CPUS / 4.0)
+# a busy box pollutes timings. Load average is NOT the right signal in
+# this sandbox (virtualization IO states keep it at 3-12 with zero CPU
+# hogs), so "idle enough" = measured CPU busy fraction below 25% over a
+# half-second /proc/stat window.
+CPU_BUSY_THRESHOLD = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_BUSY", "0.25"))
+
+
+def _cpu_busy_frac(interval: float = 0.5) -> float:
+    """CPU busy fraction over ``interval`` seconds from /proc/stat."""
+
+    def snap() -> tuple[int, int]:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+        return idle, sum(vals)
+    i0, t0 = snap()
+    time.sleep(interval)
+    i1, t1 = snap()
+    dt = max(t1 - t0, 1)
+    return 1.0 - (i1 - i0) / dt
 
 
 def _wait_for_idle() -> float:
-    """Block until the 1-minute load average drops below the idle
-    threshold (or the wait budget runs out). Returns the load at start
+    """Block until measured CPU busy fraction drops below the threshold
+    (or the wait budget runs out). Returns the busy fraction at start
     of timing, which is recorded in the output JSON."""
     deadline = time.monotonic() + BENCH_WAIT_S
-    load = os.getloadavg()[0]
-    while load > LOAD_IDLE_THRESHOLD and time.monotonic() < deadline:
-        print(f"bench: load {load:.1f} > {LOAD_IDLE_THRESHOLD:.1f}, waiting...",
+    busy = _cpu_busy_frac()
+    while busy > CPU_BUSY_THRESHOLD and time.monotonic() < deadline:
+        print(f"bench: cpu busy {busy:.0%} > {CPU_BUSY_THRESHOLD:.0%}, waiting...",
               file=sys.stderr)
         time.sleep(10)
-        load = os.getloadavg()[0]
-    return load
+        busy = _cpu_busy_frac()
+    return busy
 
 
 def main() -> None:
@@ -112,7 +131,9 @@ def main() -> None:
                 t0 = time.monotonic()
                 fn()
                 runs.append(round(time.monotonic() - t0, 3))
-            timings[name] = sorted(runs)[len(runs) // 2]  # median
+            import statistics
+
+            timings[name] = round(statistics.median(runs), 3)
             timings_min[name] = min(runs)
             timings_runs[name] = runs
 
@@ -185,7 +206,8 @@ def main() -> None:
             "queries_min": timings_min,
             "queries_runs": timings_runs,
             "runs_per_query": BENCH_RUNS,
-            "start_load": round(start_load, 2),
+            "start_cpu_busy": round(start_load, 3),
+            "start_load": round(os.getloadavg()[0], 2),
             "sf": sf,
             "docs": n_docs,
             "dedup_docs": n_amp_docs,

@@ -310,9 +310,9 @@ def test_shingle_hash_sets_match_string_sets(spark, docs):
     ~m^2/2^32 spurious intersections)."""
     from transkribusdu_spark.ops.dedup import shingle_hash_sets
 
-    pdf = docs.limit(80).toPandas()
-    hs = {r["doc_id"]: set(r["sh"]) for r in
-          shingle_hash_sets(docs.limit(80)).collect()}
+    sub = docs.orderBy("doc_id").limit(80)  # deterministic selection
+    pdf = sub.toPandas()
+    hs = {r["doc_id"]: set(r["sh"]) for r in shingle_hash_sets(sub).collect()}
     ss = {}
     for r in pdf.itertuples():
         toks = r.text.split(" ")

@@ -84,9 +84,12 @@ def page_cut_rows(boxes: list[tuple[float, float, float, float]], page_w: float)
     outside the page's x-range counts like any other; the previous
     half-plane count excluded it and could diverge from the oracle).
     Each row carries a ``check_ok`` cross-check against the
-    :meth:`BoxPartition.is_valid_cut` interval algebra — disagreement
-    is routed to the :func:`cut_check_failures` audit channel by
-    callers, never raised inside an executor."""
+    :meth:`BoxPartition.is_valid_cut` interval algebra. The production
+    query emits cut rows regardless (the oracle's gap scan defines the
+    contract) and never raises inside an executor; disagreements are
+    observable via the SEPARATE :func:`cut_check_failures` audit pass —
+    the same separate-pass contract as ``parse_errors`` /
+    ``parse_overflows``."""
     bs = sorted(boxes, key=lambda b: (b[1], b[3], b[0]))  # by y1, y2, x1
     bp = BoxPartition([(b[0], b[1], b[2], b[3]) for b in bs])
     n = len(bs)

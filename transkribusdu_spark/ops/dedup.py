@@ -345,11 +345,9 @@ def minhash_lsh_pairs(
     # np.intersect1d, C speed) instead of interpreted per-pair
     # ``array_intersect`` over string arrays. The old path additionally
     # paid an exploded-shingle shuffle + collect_set over EVERY doc.
-    cd = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
+    cd = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    )  # no distinct needed: left-semi dedups the probe side itself
     sets = shingle_hash_sets(docs.join(cd, "doc_id", "left_semi"), n)
     joined = (
         cand.join(

@@ -120,8 +120,9 @@ def neardup_config(threshold: float, n_vectors: int | None = None) -> tuple[int,
 
     planes = neardup_planes(threshold, n_vectors=n_vectors)
     tables = NEARDUP_TABLES
-    if n_vectors and n_vectors / (1 << planes) > MAX_BUCKET_OCCUPANCY:
-        p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    if (n_vectors and 0.0 < p < 1.0
+            and n_vectors / (1 << planes) > MAX_BUCKET_OCCUPANCY):
         want = max(planes, int(math.ceil(math.log2(n_vectors / MAX_BUCKET_OCCUPANCY))))
         # deepest P whose required table count stays under the cap
         for cand_p in range(want, planes - 1, -1):

@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..schemas import EDGES_SCHEMA
+from .parse import MAX_NODES_PER_DOC, parse_doc_cols
 
 GRID = 2
 CROSS_PAGE_IOU = 0.25
@@ -297,13 +298,19 @@ def doc_edges(pdf: pd.DataFrame, mode: str = "g1") -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def edges_from_pages(pages: DataFrame, mode: str = "g1") -> DataFrame:
+def edges_from_pages(
+    pages: DataFrame, mode: str = "g1",
+    max_nodes_per_doc: int | None = MAX_NODES_PER_DOC,
+) -> DataFrame:
     """Fused parse+edges: pages.html -> edges in ONE map-only pass.
 
     Each pages row is a complete document, so edges never need a shuffle
     at all — this is the scale path (build_edges on a nodes table costs
-    an extra hash exchange plus per-group overhead)."""
-    from .parse import MAX_NODES_PER_DOC, parse_doc_cols
+    an extra hash exchange plus per-group overhead).
+    ``max_nodes_per_doc`` carries the SAME semantics and default as
+    ``parse_pages`` (None disables); a caller overriding it there must
+    pass the same value here, or the edge graph would silently cover a
+    different node set."""
 
     def run(batches):
         for pdf in batches:
@@ -315,7 +322,7 @@ def edges_from_pages(pages: DataFrame, mode: str = "g1") -> DataFrame:
                     continue
                 if not dc["node_id"]:
                     continue
-                cap = MAX_NODES_PER_DOC
+                cap = max_nodes_per_doc or len(dc["node_id"])
                 doc_edges_arrays(
                     url,
                     np.array(dc["node_id"][:cap]),

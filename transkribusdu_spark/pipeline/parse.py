@@ -115,8 +115,11 @@ def _bbox_of_points(s: str) -> tuple[float, float, float, float]:
     replace/split + map(float) instead of a Python per-point loop,
     measured 26% of parse time before)."""
     vals = list(map(float, s.replace(",", " ").split()))
-    # well-formed = "x,y" pairs: exactly one comma per point
-    if not vals or len(vals) != 2 * s.count(","):
+    # well-formed = whitespace-separated "x,y" tokens: exactly one comma
+    # per point and the comma inside the token (" 10, 20" or "10 ,20"
+    # must RAISE like the per-point parser did, not silently re-pair)
+    n2 = 2 * len(s.split())
+    if not vals or len(vals) != n2 or 2 * s.count(",") != n2:
         raise ValueError(f"bad points string: {s!r}")
     xs = vals[0::2]
     ys = vals[1::2]
@@ -505,8 +508,10 @@ def parse_overflows(
 ) -> DataFrame:
     """Audit channel for the giant-document guard: one row per document
     whose parse yields more than ``max_nodes_per_doc`` nodes —
-    (url, n_nodes, cap). Same map-only shape as :func:`parse_errors`;
-    the guard in :func:`parse_pages` is never silent."""
+    (url, n_nodes, cap). Same SEPARATE-pass contract as
+    :func:`parse_errors` (a second parse of the corpus): audit channels
+    trade a re-read for keeping the production output schema stable —
+    run them when recording lineage, not on every extraction."""
     import pyspark.sql.types as T
 
     schema = T.StructType(
