@@ -326,3 +326,111 @@ def test_shingle_hash_sets_match_string_sets(spark, docs):
     for i in range(0, len(ids) - 1, 2):
         a, b = ids[i], ids[i + 1]
         assert len(hs[a] & hs[b]) == len(ss[a] & ss[b]), (a, b)
+
+
+def test_blocked_verify_matches_bruteforce_randomized():
+    """Property check: for random (m, d, guard, block size) the blocked
+    triangular verify emits EXACTLY the brute-force survivor set, with
+    cosines equal to the dot/(na*nb) reference within 1 ulp — including
+    block sizes that force chunk=1 stripes and guards at -1/+1."""
+    import numpy as np
+
+    from transkribusdu_spark.ops.similarity import _verified_bucket_pairs
+
+    rng = np.random.default_rng(123)
+    for trial in range(12):
+        m = int(rng.integers(2, 120))
+        d = int(rng.integers(2, 17))
+        guard = float(rng.uniform(-1.0, 1.0)) if trial else 1.0
+        bb = int(rng.choice([1, 4096, 1 << 20]))
+        M = rng.standard_normal((m, d))
+        ids = np.arange(m, dtype=np.int64) * 7  # non-contiguous ids
+        va, vb, cs = _verified_bucket_pairs(ids, M, guard, block_bytes=bb)
+        nrm = np.sqrt((M ** 2).sum(axis=1))
+        S = (M @ M.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(m, 1)
+        ref = {(ids[i], ids[j]): S[i, j] for i, j in zip(iu, ju) if S[i, j] >= guard}
+        got = dict(zip(zip(va.tolist(), vb.tolist()), cs))
+        # survivor sets may differ only for values within 1 ulp of guard
+        for k in set(ref) ^ set(got):
+            v = ref.get(k, got.get(k))
+            assert abs(v - guard) < 1e-12, (trial, k, v, guard)
+        for k in set(ref) & set(got):
+            assert got[k] == ref[k] or abs(got[k] - ref[k]) < 4e-16, (trial, k)
+
+
+def test_topk_prune_lossless_randomized():
+    """Property check for the per-bucket top-k prune: simulating the
+    downstream pipeline (round-6, per-pair max across buckets, rank by
+    cosine desc / vec_id asc) over pruned kernel output must give the
+    same top-k as the same pipeline over UNPRUNED output — the
+    docstring's losslessness claim, exercised across random bucketings
+    including duplicate/tied vectors."""
+    import numpy as np
+
+    from transkribusdu_spark.ops.similarity import _scored_query_pairs
+
+    rng = np.random.default_rng(77)
+
+    def downstream(rows, k):
+        best = {}
+        for q, v, c in rows:
+            c6 = round(c, 6)
+            best[(q, v)] = max(best.get((q, v), -2.0), c6)
+        by_q = {}
+        for (q, v), c in best.items():
+            by_q.setdefault(q, []).append((-c, v))
+        out = {}
+        for q, cands in by_q.items():
+            out[q] = tuple(sorted(cands)[:k])
+        return out
+
+    for trial in range(10):
+        n, d = int(rng.integers(8, 60)), int(rng.integers(2, 9))
+        k = int(rng.integers(1, 6))
+        M = rng.standard_normal((n, d))
+        if n > 10:
+            M[n // 2] = M[0]  # force exact ties
+        mids = np.arange(n, dtype=np.int64)
+        qn = int(rng.integers(1, 6))
+        Q, qids = M[:qn], mids[:qn]
+        # random 2-table bucketing
+        full, pruned = [], []
+        for _ in range(2):
+            bkt = rng.integers(0, 3, size=n)
+            for b in range(3):
+                sel = bkt == b
+                qsel = sel[:qn]
+                if not qsel.any() or not sel.any():
+                    continue
+                a = _scored_query_pairs(qids[qsel], Q[qsel], mids[sel], M[sel])
+                f = _scored_query_pairs(qids[qsel], Q[qsel], mids[sel], M[sel], k=k)
+                full.extend(zip(*[x.tolist() for x in a]))
+                pruned.extend(zip(*[x.tolist() for x in f]))
+        assert downstream(pruned, k) == downstream(full, k), trial
+
+
+def test_deepened_lsh_config_end_to_end(spark):
+    """The occupancy-aware rule can emit configs beyond the pinned
+    (24, 3)/(24, 7) — e.g. 40 tables x 10 planes. Smoke the whole
+    bucket-verify path at such a depth: planted exact-duplicate pairs
+    share every bucket and must always surface with cosine 1.0."""
+    import numpy as np
+
+    from transkribusdu_spark.ops.similarity import lsh_bucket_verified_pairs
+
+    rng = np.random.default_rng(5)
+    vecs = [(int(i), rng.standard_normal(64).tolist()) for i in range(200)]
+    for a, b in ((500, 501), (510, 511), (520, 521)):
+        v = rng.standard_normal(64).tolist()
+        vecs.append((a, v))
+        vecs.append((b, v))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r.vec_a, r.vec_b): r.cosine for r in
+           lsh_bucket_verified_pairs(emb, 0.99, n_tables=40, n_planes=10,
+                                     dim=64).collect()}
+    for pair in ((500, 501), (510, 511), (520, 521)):
+        assert pair in got and got[pair] == 1.0, (pair, got)
