@@ -24,7 +24,7 @@ from transkribusdu_spark.ops import dedup, similarity, textstats
 from transkribusdu_spark.ops.multimodal import attach_media, extract_binary_features
 from transkribusdu_spark.pipeline.conjugate import dual_graph
 from transkribusdu_spark.pipeline.edges import build_edges, edges_from_pages
-from transkribusdu_spark.pipeline.extract import extract_text_spans
+from transkribusdu_spark.pipeline.extract import extract_from_pages, extract_text_spans
 from transkribusdu_spark.pipeline.features import edge_features, fit_tfidf_vocab, node_features
 from transkribusdu_spark.pipeline.model import edge_oracle_scores
 from transkribusdu_spark.pipeline.parse import parse_pages
@@ -47,10 +47,13 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
     """Main-content extraction over synthesized Common-Crawl-style pages
-    at sf0.001: scan -> parse -> nodes -> reading order -> text+spans."""
+    at sf0.001: scan -> parse -> reading order -> text+spans, FUSED as
+    one map-only pass (doc-local ordering needs no shuffle; the
+    window-based extract_text_spans form remains for labeled node
+    tables and is byte-identical — locked by tests + oracles)."""
     sf_dir = "/root/testdata/sf0.001"
     pages = pages_from_documents(spark, sf_dir)
-    ext = extract_text_spans(parse_pages(pages))
+    ext = extract_from_pages(pages)
     return ext.select("url", "doc_id", "extracted_text", F.size("spans").alias("n_spans"))
 
 
@@ -58,12 +61,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Query registry
 # ---------------------------------------------------------------------------
 def _q_extract_main_text(spark, sf_dir):
-    ext = extract_text_spans(parse_pages(pages_from_documents(spark, sf_dir)))
+    ext = extract_from_pages(pages_from_documents(spark, sf_dir))
     return ext.select("doc_id", "extracted_text")
 
 
 def _q_extract_full_text(spark, sf_dir):
-    ext = extract_text_spans(parse_pages(pages_from_documents(spark, sf_dir)), labels=None)
+    ext = extract_from_pages(pages_from_documents(spark, sf_dir), labels=None)
     return ext.select("doc_id", "extracted_text")
 
 
@@ -71,7 +74,7 @@ def _q_extract_spans(spark, sf_dir):
     """North-rule span surface: per-document span OFFSETS of the
     main-content extraction, hash-verified against the closed-form
     running-sum oracle over the ground-truth node table."""
-    ext = extract_text_spans(parse_pages(pages_from_documents(spark, sf_dir)))
+    ext = extract_from_pages(pages_from_documents(spark, sf_dir))
     sp = ext.select("doc_id", F.explode("spans").alias("s"))
     return sp.select(
         "doc_id",

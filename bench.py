@@ -38,8 +38,7 @@ from pyspark.sql import functions as F
 
 from transkribusdu_spark.ops import dedup, similarity, textstats
 from transkribusdu_spark.pipeline.edges import edges_from_pages
-from transkribusdu_spark.pipeline.extract import extract_text_spans
-from transkribusdu_spark.pipeline.parse import parse_pages
+from transkribusdu_spark.pipeline.extract import extract_from_pages
 from transkribusdu_spark.relational import pricing_summary
 from transkribusdu_spark.session import build_session
 from transkribusdu_spark.synth import documents_amplified, write_pages
@@ -167,8 +166,9 @@ def main() -> None:
         emb = spark.read.parquet(emb_path)
         n_amp_vecs = emb.count()
 
-        # q1: flagship extraction (the north-rule surface).
-        timed("q1_extract", lambda: extract_text_spans(parse_pages(pages))
+        # q1: flagship extraction (the north-rule surface) — fused
+        # map-only parse+extract (doc-local ordering needs no shuffle).
+        timed("q1_extract", lambda: extract_from_pages(pages)
               .agg(F.sum(F.length("extracted_text"))).collect())
         # q2: parse + spatial edge building (fused map-only path).
         timed("q2_edges", lambda: edges_from_pages(pages)

@@ -76,3 +76,25 @@ def test_spark_spans_substring_valid(spark, sf_dir):
         | (F.col("s.start") < 0)
     ).count()
     assert bad == 0
+
+
+def test_fused_extract_matches_window_path(spark, sf_dir):
+    """extract_from_pages (fused map-only parse+extract, zero shuffle)
+    must be byte-identical to extract_text_spans(parse_pages(...)) —
+    text, doc ids, AND span structs — in both label modes."""
+    from transkribusdu_spark.pipeline.extract import (
+        extract_from_pages,
+        extract_text_spans,
+    )
+    from transkribusdu_spark.synth import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    for labels in (None, ("paragraph", "heading")):
+        a = extract_text_spans(parse_pages(pages), labels=labels).orderBy("url").toPandas()
+        b = extract_from_pages(pages, labels=labels).orderBy("url").toPandas()
+        assert len(a) == len(b)
+        assert (a["url"].values == b["url"].values).all()
+        assert (a["doc_id"].values == b["doc_id"].values).all()
+        assert (a["extracted_text"].values == b["extracted_text"].values).all()
+        for ra, rb in zip(a["spans"], b["spans"]):
+            assert [tuple(x) for x in ra] == [tuple(x) for x in rb]

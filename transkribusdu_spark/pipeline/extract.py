@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..schemas import MAIN_CONTENT_LABELS
+from .parse import MAX_NODES_PER_DOC, parse_doc_cols
 
 # Canonical reading order (SURVEY.md §2.6 O2): page, then top-to-bottom,
 # then left-to-right; node_id as the deterministic tiebreak.
@@ -80,6 +81,84 @@ def extract_text_spans(
             ).alias("spans"),
         )
     )
+
+
+def extract_from_pages(
+    pages: DataFrame,
+    labels: tuple[str, ...] | None = MAIN_CONTENT_LABELS,
+    max_nodes_per_doc: int | None = MAX_NODES_PER_DOC,
+) -> DataFrame:
+    """Fused parse+extract: pages.html -> (url, doc_id, extracted_text,
+    spans) in ONE map-only pass — the flagship 100 TB plan shape.
+
+    Reading order, the single-space join, and span offsets are all
+    DOC-LOCAL, so nothing here needs the :func:`extract_text_spans`
+    window shuffle: html crosses Arrow once per doc and ONE row per doc
+    comes back (node rows never cross at all). Byte-identical to
+    ``extract_text_spans(parse_pages(pages), labels=...)`` — same
+    canonical (page_num, y1, x1, node_id) order (ints/floats compare
+    numerically; node_id tiebreak is ASCII in this corpus family, where
+    Python code-point order equals Java's UTF-16 order), same
+    single-space join, same running-sum offsets — and hash-verified by
+    the same driver oracles. Keep :func:`extract_text_spans` for
+    labeled NODE tables (predicted/smoothed labels, cluster-driven
+    extraction); this fused form exists for the scan->extract path.
+
+    ``max_nodes_per_doc``: identical semantics and default to
+    ``parse_pages`` (None disables the giant-document guard)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    cap = max_nodes_per_doc
+    want = set(labels) if labels is not None else None
+    schema = (
+        "url string, doc_id long, extracted_text string, "
+        "spans array<struct<node_id:string,start:int,end:int,label:string>>"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, dids, texts, spans_col = [], [], [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                try:
+                    dc = parse_doc_cols(url, bytes(html))
+                except Exception:
+                    continue
+                n = len(dc["node_id"])
+                if cap and n > cap:
+                    n = cap
+                idx = sorted(
+                    range(n),
+                    key=lambda i: (dc["page_num"][i], dc["y1"][i],
+                                   dc["x1"][i], dc["node_id"][i]),
+                )
+                if want is not None:
+                    idx = [i for i in idx if dc["label"][i] in want]
+                if not idx:
+                    continue
+                parts = []
+                spans = []
+                off = 0
+                for i in idx:
+                    t = dc["text"][i] or ""
+                    parts.append(t)
+                    end = off + len(t)
+                    spans.append(
+                        {"node_id": dc["node_id"][i], "start": off,
+                         "end": end, "label": dc["label"][i]}
+                    )
+                    off = end + 1
+                urls.append(url)
+                dids.append(dc["doc_id"][0])
+                texts.append(" ".join(parts))
+                spans_col.append(spans)
+            yield pd.DataFrame(
+                {"url": urls, "doc_id": dids,
+                 "extracted_text": texts, "spans": spans_col}
+            )
+
+    return pages.select("url", "html").mapInPandas(run, schema=schema)
 
 
 def extract_from_clusters(nodes: DataFrame, clusters: DataFrame) -> DataFrame:
