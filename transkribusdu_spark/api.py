@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .pipeline.edges import build_edges
-from .pipeline.extract import extract_text_spans
+from .pipeline.extract import extract_from_pages, extract_text_spans
 from .pipeline.features import edge_features, node_features
 from .pipeline.model import (
     edge_oracle_scores,
@@ -23,15 +23,16 @@ from .synth import pages_from_documents
 
 def extract_documents(pages: DataFrame, n_partitions: int | None = None) -> DataFrame:
     """The --run path (SURVEY.md §3.2) in ground-truth-label mode:
-    scan -> repartition(url) -> parse -> extract main-content text+spans.
+    scan -> [repartition(url)] -> fused parse+extract (map-only, zero
+    shuffle — reading order, join, and spans are doc-local).
 
-    Map-only after the single explicit repartition; this is the
-    throughput surface benchmarked in bench.py.
+    This is the throughput surface benchmarked in bench.py;
+    byte-identical to the window-based
+    ``extract_text_spans(parse_pages(pages))`` form (parity-locked).
     """
     if n_partitions:
         pages = pages.repartition(n_partitions, F.col("url"))
-    nodes = parse_pages(pages)
-    return extract_text_spans(nodes)
+    return extract_from_pages(pages)
 
 
 def extract_documents_predicted(pages: DataFrame, node_model) -> DataFrame:
