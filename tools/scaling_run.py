@@ -24,6 +24,15 @@ MULT = os.environ.get("SPARK_GRAFT_BENCH_MULT", "10")
 # (k JVM threads + k Python workers) <= physical cores or the measurement
 # is machine-saturation, not scaling. 16+16 = 32 cores exactly.
 LEVELS = tuple(int(x) for x in os.environ.get("SCALING_LEVELS", "4,16").split(","))
+# The interleaved-pair schedule is defined for exactly two levels (lo, hi);
+# silently running only the endpoints of a longer list would discard the
+# middle levels' data, so reject that configuration outright.
+if len(LEVELS) != 2:
+    raise SystemExit(
+        f"SCALING_LEVELS must name exactly two parallelism levels (lo,hi); "
+        f"got {LEVELS!r} — the interleaved-pair protocol has no schedule for "
+        f"intermediate levels"
+    )
 
 
 def _write_snapshot(pages_dir: str) -> None:
@@ -42,8 +51,13 @@ def _write_snapshot(pages_dir: str) -> None:
 
 
 def bench(cpus: int, pages_dir: str) -> dict:
+    # One timed run per bench invocation, no inner idle-wait: the OUTER
+    # interleaved pairs supply the spread, and the idle gate runs once
+    # per PAIR (below) so lo and hi land inside the same noise epoch.
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR,
-               SPARK_GRAFT_PAGES_DIR=pages_dir, SPARK_GRAFT_BENCH_MULT=MULT)
+               SPARK_GRAFT_PAGES_DIR=pages_dir, SPARK_GRAFT_BENCH_MULT=MULT,
+               SPARK_GRAFT_BENCH_RUNS=os.environ.get("SCALING_INNER_RUNS", "1"),
+               SPARK_GRAFT_BENCH_WAIT_S="0")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=1800, check=True,
@@ -67,12 +81,22 @@ def main() -> None:
     # epoch's lo against a fast epoch's hi (or vice versa) and produced
     # efficiency "measurements" from 0.58 to 1.14 for identical code.
     results: dict[int, list[dict]] = {c: [] for c in LEVELS}
-    lo, hi = LEVELS[0], LEVELS[-1]
+    pair_busy: list[float] = []
+    lo, hi = LEVELS
+    # Pair-level idle gate (same /proc/stat signal bench.py uses): wait
+    # for the machine to be quiet BEFORE each pair so both levels of the
+    # pair run inside one noise epoch; the recorded busy fraction lets a
+    # reader discount any pair that started hot anyway.
+    sys.path.insert(0, REPO)
+    import bench as bench_mod
+
     for i in range(RUNS):
+        pair_busy.append(bench_mod._wait_for_idle())
         for cpus in (lo, hi):
             r = bench(cpus, pages_dir)
             results[cpus].append(r)
-            print(f"pair {i} local[{cpus}]: " + json.dumps(r))
+            print(f"pair {i} local[{cpus}] (busy {pair_busy[-1]:.2f}): "
+                  + json.dumps(r))
 
     def med(cpus: int, key: str) -> float:
         return statistics.median(r[key] for r in results[cpus])
@@ -121,6 +145,11 @@ def main() -> None:
         f"Conservative bound (worst adjacent pair): {eff_min:.3f}. Values "
         f"above 1.0 are residual intra-pair noise, not true "
         f"super-linearity.",
+        "",
+        f"Pre-pair CPU busy fractions (idle gate, /proc/stat): "
+        + ", ".join(f"{b:.2f}" for b in pair_busy)
+        + " — each pair started only after the machine measured quiet, so "
+        "both levels of a pair share one noise epoch.",
         "",
         "Per-query medians (seconds):",
         "",

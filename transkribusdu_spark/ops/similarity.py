@@ -126,9 +126,14 @@ def neardup_config(threshold: float, n_vectors: int | None = None) -> tuple[int,
         want = max(planes, int(math.ceil(math.log2(n_vectors / MAX_BUCKET_OCCUPANCY))))
         # deepest P whose required table count stays under the cap
         for cand_p in range(want, planes - 1, -1):
-            need = math.ceil(
-                math.log(NEARDUP_MISS_TARGET) / math.log(1.0 - p ** cand_p)
-            )
+            # log1p keeps precision when p**cand_p underflows toward 0;
+            # a zero/underflowed denominator means the required table
+            # count exceeds any cap — treat as "need > max" and keep
+            # backing off to shallower depths.
+            denom = math.log1p(-(p ** cand_p))
+            if denom == 0.0:
+                continue
+            need = math.ceil(math.log(NEARDUP_MISS_TARGET) / denom)
             if need <= NEARDUP_MAX_TABLES:
                 planes, tables = cand_p, max(NEARDUP_TABLES, int(need))
                 break

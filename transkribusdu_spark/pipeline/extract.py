@@ -117,46 +117,69 @@ def extract_from_pages(
         "spans array<struct<node_id:string,start:int,end:int,label:string>>"
     )
 
+    import math
+
+    def _ord_key(dc, i):
+        # Mirrors the Spark window's ASC ordering on malformed inputs
+        # too: NULL node_ids sort FIRST among coordinate ties (Spark
+        # default NULLS FIRST) and NaN coordinates sort LAST (Spark
+        # orders NaN greater than any double, including +Inf).
+        y, x = dc["y1"][i], dc["x1"][i]
+        nid = dc["node_id"][i]
+        return (
+            dc["page_num"][i],
+            isinstance(y, float) and math.isnan(y), y if y == y else 0.0,
+            isinstance(x, float) and math.isnan(x), x if x == x else 0.0,
+            nid is not None, nid or "",
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             urls, dids, texts, spans_col = [], [], [], []
             for url, html in zip(pdf["url"], pdf["html"]):
+                # One skip-on-error contract for parse AND assembly:
+                # garbage rows (missing ids, NaN geometry, broken pages)
+                # drop the document, never the job — same contract the
+                # windowed path inherits from parse_pages.
                 try:
                     dc = parse_doc_cols(url, bytes(html))
+                    n = len(dc["node_id"])
+                    if cap and n > cap:
+                        n = cap
+                    idx = sorted(range(n), key=lambda i: _ord_key(dc, i))
+                    if want is not None:
+                        idx = [i for i in idx if dc["label"][i] in want]
+                    if not idx:
+                        continue
+                    parts = []
+                    spans = []
+                    off = 0
+                    for i in idx:
+                        t = dc["text"][i] or ""
+                        parts.append(t)
+                        end = off + len(t)
+                        spans.append(
+                            {"node_id": dc["node_id"][i], "start": off,
+                             "end": end, "label": dc["label"][i]}
+                        )
+                        off = end + 1
+                    doc_id = dc["doc_id"][0]
+                    text = " ".join(parts)
                 except Exception:
                     continue
-                n = len(dc["node_id"])
-                if cap and n > cap:
-                    n = cap
-                idx = sorted(
-                    range(n),
-                    key=lambda i: (dc["page_num"][i], dc["y1"][i],
-                                   dc["x1"][i], dc["node_id"][i]),
-                )
-                if want is not None:
-                    idx = [i for i in idx if dc["label"][i] in want]
-                if not idx:
-                    continue
-                parts = []
-                spans = []
-                off = 0
-                for i in idx:
-                    t = dc["text"][i] or ""
-                    parts.append(t)
-                    end = off + len(t)
-                    spans.append(
-                        {"node_id": dc["node_id"][i], "start": off,
-                         "end": end, "label": dc["label"][i]}
-                    )
-                    off = end + 1
                 urls.append(url)
-                dids.append(dc["doc_id"][0])
-                texts.append(" ".join(parts))
+                dids.append(doc_id)
+                texts.append(text)
                 spans_col.append(spans)
-            yield pd.DataFrame(
-                {"url": urls, "doc_id": dids,
-                 "extracted_text": texts, "spans": spans_col}
-            )
+            # A batch where EVERY doc was skipped must yield nothing:
+            # pd.DataFrame({...: []}) defaults the columns to float64,
+            # which Arrow cannot convert to list<struct> (found by the
+            # malformed-doc probe — the job died instead of skipping).
+            if urls:
+                yield pd.DataFrame(
+                    {"url": urls, "doc_id": dids,
+                     "extracted_text": texts, "spans": spans_col}
+                )
 
     return pages.select("url", "html").mapInPandas(run, schema=schema)
 
