@@ -113,3 +113,18 @@ def test_user_sessions_single_shuffle(spark, sf_dir):
     plan = _physical(user_sessions(ev))
     assert plan.count("Exchange") == 1, plan[:2000]
     assert plan.count("Sort") == 1, "windows should share one sort order"
+
+
+def test_hot_shingle_guard_not_forced_broadcast(spark, sf_dir):
+    """The hot-shingle anti-join must carry NO broadcast hint: at web
+    scale the boilerplate-shingle set can hold millions of strings, so
+    the join strategy belongs to AQE (which still picks broadcast when
+    the set is small), not to a hard-coded hint that risks driver
+    memory at 100 TB."""
+    from transkribusdu_spark.ops import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    analyzed = dedup.ngram_jaccard_pairs(docs)._jdf.queryExecution().analyzed().toString()
+    assert "Hint" not in analyzed, "forced join hint found in hot-shingle guard"
+    # the guard itself must still be there (left-anti join on shingle)
+    assert "LeftAnti" in analyzed, "hot-shingle anti-join missing"

@@ -109,7 +109,12 @@ def ngram_jaccard_pairs(
             if n_hot:
                 print(f"ngram_jaccard_pairs: hot-shingle guard dropped {n_hot} "
                       f"shingles with df > {max_shingle_df}")
-        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+        # No broadcast hint: at web scale the boilerplate-shingle set
+        # can itself hold millions of strings, and forcing a broadcast
+        # removes Spark's freedom to fall back to a shuffle anti-join —
+        # AQE picks broadcast on its own whenever the set fits under
+        # spark.sql.autoBroadcastJoinThreshold.
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
