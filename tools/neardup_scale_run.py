@@ -94,11 +94,19 @@ def main() -> None:
         tables, planes = neardup_config(THRESHOLD, n_vectors=n_vec)
         t0 = time.monotonic()
         pairs = lsh_bucket_verified_pairs(emb, THRESHOLD, tables, planes)
-        found = pairs.filter(
-            (F.col("vec_b") - F.col("vec_a") == N_BASE)
-            | (F.col("vec_a") - F.col("vec_b") == N_BASE)
-        ).count()
-        total_found = pairs.count()
+        # ONE pass: planted count and total count in the same aggregate
+        # (two separate counts would run the whole verify DAG twice and
+        # double the measured wall).
+        row = pairs.agg(
+            F.count("*").alias("total"),
+            F.sum(
+                (
+                    (F.col("vec_b") - F.col("vec_a") == N_BASE)
+                    | (F.col("vec_a") - F.col("vec_b") == N_BASE)
+                ).cast("long")
+            ).alias("planted"),
+        ).collect()[0]
+        found, total_found = int(row["planted"] or 0), int(row["total"])
         wall = time.monotonic() - t0
         results[label] = {
             "tables": tables, "planes": planes,

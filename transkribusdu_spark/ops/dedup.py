@@ -238,9 +238,9 @@ def _batch_token_hashes(texts) -> "tuple[np.ndarray, np.ndarray]":
 def shingle_hash_sets(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """Per-doc SORTED distinct 62-bit shingle-hash array + set size.
 
-    Map-only Arrow kernel (same token-md5 memoisation as
-    :func:`minhash_signatures`): each token hashes once per distinct
-    token per batch, each n-gram mixes to TWO independent 31-bit values
+    Map-only Arrow kernel (token hashing via :func:`_batch_token_codes`
+    — factorize + md5 on memo-missing uniques only), each n-gram mixes
+    to TWO independent 31-bit values
     (two constant families, two moduli) packed into one int64. The
     output is the exact-set surface the MinHash verification intersects
     — int64 arrays, never string arrays, and never an exploded-shingle
@@ -290,12 +290,13 @@ def shingle_hash_sets(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
 def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """64-perm MinHash signature per doc (array<long>).
 
-    Base shingle hash = md5 of each token (memoised per Arrow batch)
-    mixed across the n-gram with fixed odd constants, mod (2^31 - 1);
-    permutations h_i = (a_i * h + b_i) mod (2^31 - 1), minimum over the
-    doc's DISTINCT shingles.
+    Base shingle hash = md5 of each token (vectorized via
+    :func:`_batch_token_codes`) mixed across the n-gram with fixed odd
+    constants, mod (2^31 - 1); permutations
+    h_i = (a_i * h + b_i) mod (2^31 - 1), minimum over the doc's
+    DISTINCT shingles.
 
-    Shape: one map-only Arrow kernel — token hashing is memoised and
+    Shape: one map-only Arrow kernel — token hashing is factorized and
     the 64-permutation minimum is a single (64 x n_shingles) numpy
     broadcast, replacing an exploded-shingle shuffle with 64 min-agg
     columns (the heaviest dedup stage at 100k docs: 20s -> ~4s). The
