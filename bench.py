@@ -46,6 +46,12 @@ from transkribusdu_spark.synth import documents_amplified, write_pages
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "10"))
+# Optional subset, e.g. "q1_extract,q2_edges" — the scaling protocol
+# times the north-rule extraction path many times and should not pay
+# for the dedup/ANN queries (or their snapshot amplification) each run.
+QUERIES_ONLY = {
+    q.strip() for q in os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",") if q.strip()
+} or None
 # Dedup/ANN inputs scale differently from extraction (pair volume is
 # superlinear), so their amplification is bounded separately — and
 # REPORTED in the output JSON, never silently capped.
@@ -124,6 +130,8 @@ def main() -> None:
         timings_runs: dict[str, list[float]] = {}
 
         def timed(name: str, fn) -> None:
+            if QUERIES_ONLY and name not in QUERIES_ONLY:
+                return
             fn()  # warmup: JIT, codegen cache, page cache
             runs = []
             for _ in range(BENCH_RUNS):
@@ -141,30 +149,45 @@ def main() -> None:
         # materialized untimed so both parallelism levels read identical
         # bytes. Embeddings replicate with a deterministic per-replica
         # shift (volume for the ANN path; exact results don't matter to
-        # the timing, determinism does).
-        docs_path = os.path.join(tmp, "docs_amp") if tmp else os.path.join(
-            tempfile.mkdtemp(prefix="bench_docs_"), "docs_amp")
-        documents_amplified(spark, SF_DIR, DEDUP_MULT).repartition(
-            SNAPSHOT_PARTITIONS).write.mode("overwrite").parquet(docs_path)
-        docs = spark.read.parquet(docs_path)
-        n_amp_docs = docs.count()
-
-        emb0 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-        reps = spark.range(ANN_MULT).withColumnRenamed("id", "rep")
-        emb_path = os.path.join(os.path.dirname(docs_path), "emb_amp")
-        (
-            emb0.crossJoin(reps)
-            .select(
-                (F.col("vec_id") + F.col("rep") * F.lit(10_000_000)).alias("vec_id"),
-                F.transform(
-                    "embedding", lambda x: x + F.col("rep").cast("float") * F.lit(0.001)
-                ).alias("embedding"),
-            )
-            .repartition(SNAPSHOT_PARTITIONS)
-            .write.mode("overwrite").parquet(emb_path)
+        # the timing, determinism does). Each snapshot is built only if
+        # a selected query reads it.
+        need_docs = QUERIES_ONLY is None or bool(
+            QUERIES_ONLY & {"q3_minhash_lsh", "q4_simhash_pairs", "q6_textstats"}
         )
-        emb = spark.read.parquet(emb_path)
-        n_amp_vecs = emb.count()
+        need_emb = QUERIES_ONLY is None or bool(
+            QUERIES_ONLY & {"q5_knn", "q8_ann_lsh", "q9_embed_neardup"}
+        )
+        docs = None
+        n_amp_docs = 0
+        if need_docs:
+            docs_path = os.path.join(tmp, "docs_amp") if tmp else os.path.join(
+                tempfile.mkdtemp(prefix="bench_docs_"), "docs_amp")
+            documents_amplified(spark, SF_DIR, DEDUP_MULT).repartition(
+                SNAPSHOT_PARTITIONS).write.mode("overwrite").parquet(docs_path)
+            docs = spark.read.parquet(docs_path)
+            n_amp_docs = docs.count()
+
+        emb = None
+        n_amp_vecs = 0
+        if need_emb:
+            emb0 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            reps = spark.range(ANN_MULT).withColumnRenamed("id", "rep")
+            emb_dir = os.path.dirname(docs_path) if need_docs else (
+                tmp or tempfile.mkdtemp(prefix="bench_emb_"))
+            emb_path = os.path.join(emb_dir, "emb_amp")
+            (
+                emb0.crossJoin(reps)
+                .select(
+                    (F.col("vec_id") + F.col("rep") * F.lit(10_000_000)).alias("vec_id"),
+                    F.transform(
+                        "embedding", lambda x: x + F.col("rep").cast("float") * F.lit(0.001)
+                    ).alias("embedding"),
+                )
+                .repartition(SNAPSHOT_PARTITIONS)
+                .write.mode("overwrite").parquet(emb_path)
+            )
+            emb = spark.read.parquet(emb_path)
+            n_amp_vecs = emb.count()
 
         # q1: flagship extraction (the north-rule surface) — fused
         # map-only parse+extract (doc-local ordering needs no shuffle).
@@ -196,7 +219,9 @@ def main() -> None:
         timed("q9_embed_neardup", lambda: dedup.embedding_near_dups(
             emb, threshold=0.85).count())
 
-        extract_docs_per_sec = round(n_docs / timings["q1_extract"], 2)
+        extract_docs_per_sec = (
+            round(n_docs / timings["q1_extract"], 2) if "q1_extract" in timings else 0.0
+        )
         total = round(sum(timings.values()), 3)
 
         # Regression rule (pinned round 5): a query counts as REGRESSED
@@ -218,10 +243,15 @@ def main() -> None:
             if recs:
                 prev_src = os.path.basename(recs[-1])
                 with open(recs[-1]) as f:
-                    prev = json.load(f).get("parsed", {}).get("queries_min", {})
-                for q, cur in timings_min.items():
-                    if q in prev and cur > prev[q] * 1.15:
-                        regressions[q] = {"prev_min": prev[q], "min": cur}
+                    parsed = json.load(f).get("parsed", {})
+                prev = parsed.get("queries_min", {})
+                # only comparable at the same scale factor and core count
+                if parsed.get("sf") == sf and parsed.get("cpus") == CPUS:
+                    for q, cur in timings_min.items():
+                        if q in prev and cur > prev[q] * 1.15:
+                            regressions[q] = {"prev_min": prev[q], "min": cur}
+                else:
+                    prev_src = f"{prev_src} (incomparable sf/cpus; skipped)"
         except Exception:
             prev_src = None  # a malformed record never fails the bench
 
