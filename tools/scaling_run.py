@@ -24,6 +24,12 @@ MULT = os.environ.get("SPARK_GRAFT_BENCH_MULT", "10")
 # (k JVM threads + k Python workers) <= physical cores or the measurement
 # is machine-saturation, not scaling. 16+16 = 32 cores exactly.
 LEVELS = tuple(int(x) for x in os.environ.get("SCALING_LEVELS", "4,16").split(","))
+# Snapshot partition count. Default 192: divisible by both default
+# levels (48 waves at local[4], 12 at local[16]) so per-wave tail loss
+# stays small at the HIGH level — 64 partitions gave local[16] only 4
+# waves, where one slow partition idles 15 cores for a quarter of the
+# job and reads as fake scaling loss.
+PARTITIONS = int(os.environ.get("SCALING_PARTITIONS", "192"))
 # The interleaved-pair schedule is defined for exactly two levels (lo, hi);
 # silently running only the endpoints of a longer list would discard the
 # middle levels' data, so reject that configuration outright.
@@ -44,8 +50,8 @@ def _write_snapshot(pages_dir: str) -> None:
         "from transkribusdu_spark.synth import write_pages;"
         "s = build_session(master='local[32]');"
         "s.sparkContext.setLogLevel('ERROR');"
-        "write_pages(s, %r, %r, n_partitions=64, multiplier=%s);"
-        "s.stop()" % (REPO, SF_DIR, pages_dir, MULT)
+        "write_pages(s, %r, %r, n_partitions=%s, multiplier=%s);"
+        "s.stop()" % (REPO, SF_DIR, pages_dir, PARTITIONS, MULT)
     )
     subprocess.run([sys.executable, "-c", code], check=True, timeout=1800)
 

@@ -40,6 +40,25 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         # Broadcast joins for small dims (fitted params, host tables).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Scan split sizing for a PYTHON-PARSE-BOUND engine: the hot
+        # stages spend ~100x more CPU per byte than a columnar scan
+        # (html -> Arrow -> ElementTree parse), so a 128 MB split is a
+        # multi-minute task and the default 4 MB per-file open cost
+        # packs small files into FEW, RAGGED splits (measured: a 1.5 GB
+        # / 192-file corpus became 18 splits — one full wave of 16
+        # threads plus a 2-task tail that doubled the stage wall). 32 MB
+        # splits + 1 MB open cost keep every core in work at small
+        # corpus sizes; at 100 TB both settings are irrelevant to wave
+        # shape (hundreds of splits per executor either way) and 32 MB
+        # still means ~30 s parse tasks — well above scheduling noise.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(32 * 1024 * 1024)),
+        )
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", str(1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
