@@ -127,9 +127,12 @@ def main() -> None:
         f"Machine: {platform.machine()} Linux, {ncpu} cores, {mem_gib} GiB RAM; "
         f"single JVM, `local[k]` stands in for k executors (no real cluster in "
         f"this sandbox — see BASELINE.md). Levels local[{lo}] vs local[{hi}]: "
-        f"each task thread pairs with a Python worker process, so the {hi}-core "
-        f"level occupies {2 * hi} of {ncpu} hardware threads — headroom kept so "
-        f"the ratio measures scaling, not machine saturation.",
+        f"each task thread pairs with a Python worker process, so the levels "
+        f"keep {2 * lo} vs {2 * hi} of {ncpu} hardware threads busy. When the "
+        f"high level saturates the box, the pair ratio INCLUDES the box's own "
+        f"per-core throughput falloff (DRAM/LLC/host-steal) — quantified "
+        f"engine-free in BENCH/PARSE_SATURATION.md; divide by that ceiling to "
+        f"read the engine-attributable efficiency.",
         f"Input snapshot: pages table synthesized from `{SF_DIR}` "
         f"({docs} documents), written to parquet before timing (identical bytes "
         f"and partitioning for both levels); {RUNS} INTERLEAVED run pairs "
