@@ -52,6 +52,17 @@ MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "10"))
 QUERIES_ONLY = {
     q.strip() for q in os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",") if q.strip()
 } or None
+KNOWN_QUERIES = {
+    "q1_extract", "q2_edges", "q3_minhash_lsh", "q4_simhash_pairs", "q5_knn",
+    "q6_textstats", "q7_pricing", "q8_ann_lsh", "q9_embed_neardup",
+}
+if QUERIES_ONLY and not QUERIES_ONLY <= KNOWN_QUERIES:
+    # a typo'd name would otherwise yield an EMPTY bench that reads as a
+    # perfect (0.0s) result
+    raise SystemExit(
+        f"unknown SPARK_GRAFT_BENCH_QUERIES: {sorted(QUERIES_ONLY - KNOWN_QUERIES)} "
+        f"(known: {sorted(KNOWN_QUERIES)})"
+    )
 # Dedup/ANN inputs scale differently from extraction (pair volume is
 # superlinear), so their amplification is bounded separately — and
 # REPORTED in the output JSON, never silently capped.
@@ -113,6 +124,7 @@ def main() -> None:
         sf = -1.0  # unknown scale label; timings still valid
 
     tmp = None
+    scratch_dirs: list[str] = []  # mkdtemp dirs outside tmp, cleaned in finally
     if PAGES_DIR:
         pages_path = PAGES_DIR
     else:
@@ -135,6 +147,12 @@ def main() -> None:
             fn()  # warmup: JIT, codegen cache, page cache
             runs = []
             for _ in range(BENCH_RUNS):
+                # The dedup queries persist their signature tables so one
+                # CALL never recomputes a kernel; Spark's CacheManager
+                # matches the structurally-identical plan of the NEXT
+                # call too, so without this the timed runs would read the
+                # warmup's cache and measure only the post-kernel joins.
+                spark.catalog.clearCache()
                 t0 = time.monotonic()
                 fn()
                 runs.append(round(time.monotonic() - t0, 3))
@@ -160,8 +178,11 @@ def main() -> None:
         docs = None
         n_amp_docs = 0
         if need_docs:
-            docs_path = os.path.join(tmp, "docs_amp") if tmp else os.path.join(
-                tempfile.mkdtemp(prefix="bench_docs_"), "docs_amp")
+            if tmp:
+                docs_path = os.path.join(tmp, "docs_amp")
+            else:  # PAGES_DIR mode: own tempdir, cleaned in finally
+                scratch_dirs.append(tempfile.mkdtemp(prefix="bench_docs_"))
+                docs_path = os.path.join(scratch_dirs[-1], "docs_amp")
             documents_amplified(spark, SF_DIR, DEDUP_MULT).repartition(
                 SNAPSHOT_PARTITIONS).write.mode("overwrite").parquet(docs_path)
             docs = spark.read.parquet(docs_path)
@@ -172,8 +193,13 @@ def main() -> None:
         if need_emb:
             emb0 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
             reps = spark.range(ANN_MULT).withColumnRenamed("id", "rep")
-            emb_dir = os.path.dirname(docs_path) if need_docs else (
-                tmp or tempfile.mkdtemp(prefix="bench_emb_"))
+            if need_docs:
+                emb_dir = os.path.dirname(docs_path)
+            elif tmp:
+                emb_dir = tmp
+            else:
+                scratch_dirs.append(tempfile.mkdtemp(prefix="bench_emb_"))
+                emb_dir = scratch_dirs[-1]
             emb_path = os.path.join(emb_dir, "emb_amp")
             (
                 emb0.crossJoin(reps)
@@ -245,13 +271,20 @@ def main() -> None:
                 with open(recs[-1]) as f:
                     parsed = json.load(f).get("parsed", {})
                 prev = parsed.get("queries_min", {})
-                # only comparable at the same scale factor and core count
-                if parsed.get("sf") == sf and parsed.get("cpus") == CPUS:
+                # only comparable at the same scale factor, core count AND
+                # amplification multipliers (they scale the timings directly)
+                if (
+                    parsed.get("sf") == sf
+                    and parsed.get("cpus") == CPUS
+                    and parsed.get("mult") == MULT
+                    and parsed.get("dedup_mult") == DEDUP_MULT
+                    and parsed.get("ann_mult") == ANN_MULT
+                ):
                     for q, cur in timings_min.items():
                         if q in prev and cur > prev[q] * 1.15:
                             regressions[q] = {"prev_min": prev[q], "min": cur}
                 else:
-                    prev_src = f"{prev_src} (incomparable sf/cpus; skipped)"
+                    prev_src = f"{prev_src} (incomparable sf/cpus/mult; skipped)"
         except Exception:
             prev_src = None  # a malformed record never fails the bench
 
@@ -280,6 +313,8 @@ def main() -> None:
     finally:
         if tmp:
             shutil.rmtree(tmp, ignore_errors=True)
+        for d in scratch_dirs:
+            shutil.rmtree(d, ignore_errors=True)
         spark.stop()
 
 

@@ -98,3 +98,28 @@ def test_fused_extract_matches_window_path(spark, sf_dir):
         assert (a["extracted_text"].values == b["extracted_text"].values).all()
         for ra, rb in zip(a["spans"], b["spans"]):
             assert [tuple(x) for x in ra] == [tuple(x) for x in rb]
+
+
+def test_fused_extract_skip_is_audited(spark, sf_dir):
+    """A document the fused path SKIPS (parse or assembly raised) must
+    appear in extract_errors with its exception — no silent drops."""
+    import datetime
+
+    from transkribusdu_spark.pipeline.extract import (
+        extract_errors,
+        extract_from_pages,
+    )
+    from transkribusdu_spark.synth import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    bad = spark.createDataFrame(
+        [("u://bad", datetime.datetime(2020, 1, 1),
+          bytearray(b"<PcGts><Page"), "", "xx")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    both = pages.unionByName(bad)
+    n_ok = pages.count()
+    assert extract_from_pages(both).count() == n_ok  # bad doc skipped
+    errs = {r["url"]: r["error"] for r in extract_errors(both).collect()}
+    assert set(errs) == {"u://bad"}
+    assert "ParseError" in errs["u://bad"]

@@ -11,11 +11,10 @@ from transkribusdu_spark.synth import pages_from_documents
 def _mine_reference(sequences, min_support_frac, max_len):
     """Independent PrefixSpan: recursive projected-database mining with
     gaps-allowed subsequence semantics (singleton itemsets)."""
-    n = len(sequences)
-    min_count = min_support_frac * n  # MLlib: ceil semantics via > / >=
     import math
 
-    min_count = math.ceil(min_support_frac * n)
+    n = len(sequences)
+    min_count = math.ceil(min_support_frac * n)  # MLlib ceil-support rule
     out = {}
 
     def project(db, prefix):

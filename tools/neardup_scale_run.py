@@ -36,7 +36,10 @@ N_BASE = int(os.environ.get("NEARDUP_SCALE_N", "1200000"))
 N_PLANT = 1000
 DIM = 64
 THRESHOLD = 0.85
-NOISE = 0.2  # relative noise -> planted cosine ~ 1/sqrt(1+NOISE^2) ~ 0.98... scaled below
+# Planted noise scale 0.55 (hardcoded in gen() AND the ground-truth
+# loop, which must stay in lockstep): expected cosine 1/sqrt(1+0.55^2)
+# ~ 0.876, with dim-64 sampling spread the measured planted cosines sit
+# around ~0.9 (above the 0.85 threshold, below trivially-easy).
 
 
 def main() -> None:
@@ -135,9 +138,15 @@ def main() -> None:
             f"| {r['wall_sec']} | {r['recall']} ({r['planted_found']}/{r['planted_true']}) |"
         )
     sp = results["pinned"]["wall_sec"] / max(results["occupancy-aware"]["wall_sec"], 1e-9)
+    r_pin = results["pinned"]["recall"]
+    r_dp = results["occupancy-aware"]["recall"]
+    recall_txt = (
+        f"at equal recall ({r_pin})" if r_pin == r_dp
+        else f"at recall {r_dp} vs {r_pin} pinned"  # state the trade honestly
+    )
     lines += [
         "",
-        f"Deepened config speedup: **{sp:.2f}x** at equal (100%-target) recall — "
+        f"Deepened config speedup: **{sp:.2f}x** {recall_txt} — "
         "the N-aware rule halves expected bucket occupancy (verify FLOPs ~ "
         "occupancy^2 per bucket) and re-solves the table count so the "
         "analytic per-pair miss stays <= 1e-3.",

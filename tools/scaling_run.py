@@ -39,6 +39,15 @@ if len(LEVELS) != 2:
         f"got {LEVELS!r} — the interleaved-pair protocol has no schedule for "
         f"intermediate levels"
     )
+# The efficiency statistic divides by each level's extract_docs_per_sec,
+# which bench.py reports as 0.0 when q1_extract is excluded — fail fast
+# instead of ZeroDividing after half an hour of pairs.
+_q_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+if _q_env and "q1_extract" not in {q.strip() for q in _q_env.split(",")}:
+    raise SystemExit(
+        "SPARK_GRAFT_BENCH_QUERIES must include q1_extract: the scaling "
+        f"efficiency is computed from extraction throughput (got {_q_env!r})"
+    )
 
 
 def _write_snapshot(pages_dir: str) -> None:

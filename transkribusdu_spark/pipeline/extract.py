@@ -83,6 +83,55 @@ def extract_text_spans(
     )
 
 
+def _fused_ord_key(dc: dict, i: int):
+    """Mirrors the Spark window's ASC ordering on malformed inputs too:
+    NULL node_ids sort FIRST among coordinate ties (Spark default NULLS
+    FIRST) and NaN coordinates sort LAST (Spark orders NaN greater than
+    any double, including +Inf)."""
+    import math
+
+    y, x = dc["y1"][i], dc["x1"][i]
+    nid = dc["node_id"][i]
+    return (
+        dc["page_num"][i],
+        isinstance(y, float) and math.isnan(y), y if y == y else 0.0,
+        isinstance(x, float) and math.isnan(x), x if x == x else 0.0,
+        nid is not None, nid or "",
+    )
+
+
+def _fused_doc(
+    url: str, html: bytes, cap: int | None, want: set[str] | None
+) -> tuple[int, str, list[dict]] | None:
+    """Per-doc body of the fused parse+extract: returns
+    (doc_id, extracted_text, spans), or None when no node survives the
+    label filter. Raises on unparseable/garbage input — the caller
+    decides whether to skip (extract_from_pages) or report
+    (extract_errors)."""
+    dc = parse_doc_cols(url, html)
+    n = len(dc["node_id"])
+    if cap and n > cap:
+        n = cap
+    idx = sorted(range(n), key=lambda i: _fused_ord_key(dc, i))
+    if want is not None:
+        idx = [i for i in idx if dc["label"][i] in want]
+    if not idx:
+        return None
+    parts: list[str] = []
+    spans: list[dict] = []
+    off = 0
+    for i in idx:
+        t = dc["text"][i] or ""
+        parts.append(t)
+        end = off + len(t)
+        spans.append(
+            {"node_id": dc["node_id"][i], "start": off, "end": end,
+             "label": dc["label"][i]}
+        )
+        off = end + 1
+    return dc["doc_id"][0], " ".join(parts), spans
+
+
 def extract_from_pages(
     pages: DataFrame,
     labels: tuple[str, ...] | None = MAIN_CONTENT_LABELS,
@@ -117,22 +166,6 @@ def extract_from_pages(
         "spans array<struct<node_id:string,start:int,end:int,label:string>>"
     )
 
-    import math
-
-    def _ord_key(dc, i):
-        # Mirrors the Spark window's ASC ordering on malformed inputs
-        # too: NULL node_ids sort FIRST among coordinate ties (Spark
-        # default NULLS FIRST) and NaN coordinates sort LAST (Spark
-        # orders NaN greater than any double, including +Inf).
-        y, x = dc["y1"][i], dc["x1"][i]
-        nid = dc["node_id"][i]
-        return (
-            dc["page_num"][i],
-            isinstance(y, float) and math.isnan(y), y if y == y else 0.0,
-            isinstance(x, float) and math.isnan(x), x if x == x else 0.0,
-            nid is not None, nid or "",
-        )
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             urls, dids, texts, spans_col = [], [], [], []
@@ -140,33 +173,17 @@ def extract_from_pages(
                 # One skip-on-error contract for parse AND assembly:
                 # garbage rows (missing ids, NaN geometry, broken pages)
                 # drop the document, never the job — same contract the
-                # windowed path inherits from parse_pages.
+                # windowed path inherits from parse_pages. Skips are
+                # auditable per-url via :func:`extract_errors`, which
+                # re-runs this same per-doc body and reports the
+                # exception instead of swallowing it.
                 try:
-                    dc = parse_doc_cols(url, bytes(html))
-                    n = len(dc["node_id"])
-                    if cap and n > cap:
-                        n = cap
-                    idx = sorted(range(n), key=lambda i: _ord_key(dc, i))
-                    if want is not None:
-                        idx = [i for i in idx if dc["label"][i] in want]
-                    if not idx:
-                        continue
-                    parts = []
-                    spans = []
-                    off = 0
-                    for i in idx:
-                        t = dc["text"][i] or ""
-                        parts.append(t)
-                        end = off + len(t)
-                        spans.append(
-                            {"node_id": dc["node_id"][i], "start": off,
-                             "end": end, "label": dc["label"][i]}
-                        )
-                        off = end + 1
-                    doc_id = dc["doc_id"][0]
-                    text = " ".join(parts)
+                    assembled = _fused_doc(url, bytes(html), cap, want)
                 except Exception:
                     continue
+                if assembled is None:
+                    continue
+                doc_id, text, spans = assembled
                 urls.append(url)
                 dids.append(doc_id)
                 texts.append(text)
@@ -180,6 +197,41 @@ def extract_from_pages(
                     {"url": urls, "doc_id": dids,
                      "extracted_text": texts, "spans": spans_col}
                 )
+
+    return pages.select("url", "html").mapInPandas(run, schema=schema)
+
+
+def extract_errors(
+    pages: DataFrame,
+    labels: tuple[str, ...] | None = MAIN_CONTENT_LABELS,
+    max_nodes_per_doc: int | None = MAX_NODES_PER_DOC,
+) -> DataFrame:
+    """Audit channel for the fused path: one row per document that
+    :func:`extract_from_pages` would SKIP because parse OR assembly
+    raised (url, error). Runs the identical per-doc body, so a bug that
+    silently drops documents there surfaces here with its exception —
+    the fused-path analogue of :func:`parse_errors`, which only covers
+    the parse step."""
+    from typing import Iterator
+
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    cap = max_nodes_per_doc
+    want = set(labels) if labels is not None else None
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("error", T.StringType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bad: list[dict] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                try:
+                    _fused_doc(url, bytes(html), cap, want)
+                except Exception as e:
+                    bad.append({"url": url, "error": f"{type(e).__name__}: {e}"})
+            yield pd.DataFrame(bad, columns=["url", "error"])
 
     return pages.select("url", "html").mapInPandas(run, schema=schema)
 
