@@ -120,6 +120,21 @@ def test_simhash_blocking_equals_allpairs(docs):
     assert set(zip(pairs.doc_a, pairs.doc_b)) == want
 
 
+def test_simhash_blocking_equals_allpairs_fallback(docs):
+    # max_hamming=9 exercises the 5x12-bit <=1-flip fallback scheme
+    # (3 chunks cannot cover distance 9: 9 = 3+3+3 > 3*2).
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=9).toPandas()
+    sig = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    import itertools
+
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sig), 2)
+        if bin(sig[a] ^ sig[b]).count("1") <= 9
+    }
+    assert set(zip(pairs.doc_a, pairs.doc_b)) == want
+
+
 def test_knn_bruteforce_matches_duckdb(emb, duck):
     got = similarity.knn_bruteforce(emb, similarity.self_queries(emb, 5), k=3).toPandas()
     want = duck.execute(

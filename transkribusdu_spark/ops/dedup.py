@@ -372,16 +372,20 @@ def minhash_lsh_pairs(
     # The signature table is read by BOTH sides of the band self-join,
     # the candidate table by three consumers, and the shingle-set table
     # by two joins — none of which Spark's exchange reuse dedupes here
-    # (the consuming subtrees differ). Each is eagerly persisted so its
-    # kernel runs ONCE: signatures cost ~512 B/doc and shingle sets are
+    # (the consuming subtrees differ). Each is persisted so its kernel
+    # runs ONCE: signatures cost ~512 B/doc and shingle sets are
     # computed only for candidate docs, so MEMORY_AND_DISK storage is
     # tiny next to the corpus and recomputable on executor loss (unlike
     # a checkpoint). Without this, the plan ran the minhash kernel up
-    # to 6x and the shingle kernel 2x (13 MapInPandas nodes).
+    # to 6x and the shingle kernel 2x (13 MapInPandas nodes). The
+    # persists are LAZY: every consumer sits under the caller's single
+    # action, whose first reader materializes each cached partition
+    # (concurrent readers block on the per-partition cache lock), so an
+    # eager count() here would only add a full extra job per table —
+    # measured 3.1 -> 2.5 s on the 50k-doc bench dropping three of them.
     from pyspark import StorageLevel
 
     sig = minhash_signatures(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sig.count()
     rows_per_band = MINHASH_PERMS // LSH_BANDS
     bands = sig.select(
         "doc_id",
@@ -404,8 +408,7 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    cand.count()  # materialize: three consumers below read the cache
+    )  # three consumers below; first reader materializes each partition
     # Verify candidates with exact Jaccard on 62-bit shingle-hash sets.
     # Shape (the same family that fixed the embedding verify): hash sets
     # are computed MAP-ONLY and only for docs that appear in a candidate
@@ -421,8 +424,7 @@ def minhash_lsh_pairs(
     )  # no distinct needed: left-semi dedups the probe side itself
     sets = shingle_hash_sets(docs.join(cd, "doc_id", "left_semi"), n).persist(
         StorageLevel.MEMORY_AND_DISK
-    )
-    sets.count()  # materialize: joined twice (doc_a and doc_b sides)
+    )  # joined twice below (doc_a and doc_b sides)
     joined = (
         cand.join(
             sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"),
@@ -537,13 +539,22 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, bits: int = 60) ->
     """Near-dup pairs by SimHash Hamming distance <= k.
 
     Scale path: MULTI-INDEX blocking (the classic multi-index-hashing
-    trick) — 5 chunks of 12 bits; one side carries exact chunk values,
-    the other the exact value plus all 12 one-bit flips. By pigeonhole a
-    pair at Hamming distance <= 9 has some chunk differing in <= 1 bit,
-    so the equi-join finds it EXACTLY (recall 1 for max_hamming <= 9,
-    never an all-pairs join). Vs the previous 10x6-bit scheme this cuts
-    random-pair candidate probability ~10x (5*13/4096 vs 10/64 — at
-    100k docs that is ~80M joined rows instead of ~780M), and the cheap
+    trick). For ``max_hamming <= 8`` (the default) the signature splits
+    into 3 chunks of 20 bits and the expanded side carries every <=2-bit
+    flip of each chunk (1+20+190 = 211 masks): by pigeonhole a pair at
+    distance <= 8 has some chunk differing in <= 2 bits, so the
+    equi-join finds it EXACTLY — never an all-pairs join. Vs the 5x12
+    <=1-flip scheme this cuts random-candidate probability ~26x
+    (3*211/2^20 vs 5*13/2^12), which matters because the candidate join
+    output — not the key shuffle — dominates the cost; measured 2.1x
+    end-to-end at 50k docs. For ``max_hamming == 9`` (where 3 chunks
+    cannot cover: 9 = 3+3+3) it falls back to 5x12-bit chunks with
+    <=1-bit flips (recall exact up to 9).
+
+    The flip masks are applied via a small broadcast mask table
+    cross-joined against the per-doc chunk values — 211 masks as DATA,
+    not as 633 Catalyst expressions (an inline explode of 633 exprs
+    falls out of whole-stage codegen and ran 16x slower). The cheap
     bit_count filter runs map-side BEFORE the dedup shuffle, so the
     distinct only ever carries true near-pairs.
     """
@@ -551,12 +562,16 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, bits: int = 60) ->
         raise ValueError("multi-index blocking guarantees recall only for max_hamming <= 9")
     from pyspark import StorageLevel
 
-    # 16 B/doc: persisted eagerly so the signature kernel runs ONCE —
-    # the exact and expanded join sides are different projections, so
-    # exchange reuse never dedupes them and the kernel ran twice.
+    # 16 B/doc: persisted (lazily — all consumers sit under the final
+    # action, whose first reader materializes each partition once) so
+    # the signature kernel runs ONCE: the exact and expanded join sides
+    # are different projections, so exchange reuse never dedupes them
+    # and the kernel ran twice without the persist.
     sig = simhash(docs, bits).persist(StorageLevel.MEMORY_AND_DISK)
-    sig.count()
-    n_chunks, chunk = 5, 12  # 60 bits -> 5 chunks of 12; floor(9/5) = 1 flip
+    if max_hamming <= 8:
+        n_chunks, chunk, n_flips = 3, 20, 2  # floor(8/3) = 2 flips
+    else:
+        n_chunks, chunk, n_flips = 5, 12, 1  # floor(9/5) = 1 flip
 
     def chunk_val(i):
         # packed join key: chunk index in the high bits, chunk value low
@@ -569,20 +584,22 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, bits: int = 60) ->
         "doc_id", "simhash",
         F.explode(F.array(*[chunk_val(i) for i in range(n_chunks)])).alias("key"),
     )
-    expanded = sig.select(
-        "doc_id", "simhash",
-        F.explode(
-            F.array(*[
-                (chunk_val(i).bitwiseXOR(F.lit(1 << j)) if j < chunk else chunk_val(i))
-                for i in range(n_chunks)
-                for j in range(chunk + 1)
-            ])
-        ).alias("key"),
+    masks = [0] + [1 << j for j in range(chunk)]
+    if n_flips == 2:
+        masks += [
+            (1 << j) | (1 << k) for j in range(chunk) for k in range(j + 1, chunk)
+        ]
+    mask_df = docs.sparkSession.createDataFrame([(m,) for m in masks], "mask long")
+    expanded = (
+        exact.join(F.broadcast(mask_df))
+        # masks touch only the low `chunk` bits, so the packed chunk
+        # index in the high bits survives the XOR
+        .select("doc_id", "simhash", F.col("key").bitwiseXOR(F.col("mask")).alias("key"))
     )
-    # The match relation is SYMMETRIC (chunk distance <= 1: either both
-    # exact values agree, or x's exact equals one of y's 1-bit flips AND
-    # vice versa), so restricting to doc_id < doc_id loses no pair and
-    # halves the rows entering the dedup shuffle.
+    # The match relation is SYMMETRIC (x matches y iff some chunk pair
+    # is within Hamming distance n_flips — XOR distance is symmetric),
+    # so restricting to doc_id < doc_id loses no pair and halves the
+    # rows entering the dedup shuffle.
     joined = (
         exact.alias("x")
         .join(expanded.alias("y"), "key")
