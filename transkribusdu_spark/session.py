@@ -17,29 +17,24 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
 
-def build_session(
-    app_name: str = "transkribusdu_spark",
-    master: str | None = None,
-    shuffle_partitions: int | None = None,
-    extra_conf: dict[str, str] | None = None,
-) -> SparkSession:
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
-    b = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+def engine_conf(shuffle_partitions: int | None = None) -> dict[str, str]:
+    """The engine's tuned Spark conf — the same settings we would ship
+    to a 1000-executor cluster, keyed so both the in-process builder
+    (:func:`build_session`) and the spark-submit path
+    (:func:`submit_session`) share one source of truth."""
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         # AQE: runtime re-planning — shuffle coalescing, skew-join splitting.
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
         # Arrow: the only sanctioned Python<->JVM data path.
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Bound per-batch memory for mapInPandas/applyInPandas over
         # documents with large html payloads.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
         # Broadcast joins for small dims (fitted params, host tables).
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         # Scan split sizing for a PYTHON-PARSE-BOUND engine: the hot
         # stages spend ~100x more CPU per byte than a columnar scan
         # (html -> Arrow -> ElementTree parse), so a 128 MB split is a
@@ -51,19 +46,59 @@ def build_session(
         # corpus sizes; at 100 TB both settings are irrelevant to wave
         # shape (hundreds of splits per executor either way) and 32 MB
         # still means ~30 s parse tasks — well above scheduling noise.
-        .config(
-            "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(32 * 1024 * 1024)),
-        )
-        .config(
-            "spark.sql.files.openCostInBytes",
-            os.environ.get("SPARK_GRAFT_OPEN_COST", str(1024 * 1024)),
-        )
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        "spark.sql.files.maxPartitionBytes": os.environ.get(
+            "SPARK_GRAFT_MAX_PARTITION_BYTES", str(32 * 1024 * 1024)
+        ),
+        "spark.sql.files.openCostInBytes": os.environ.get(
+            "SPARK_GRAFT_OPEN_COST", str(1024 * 1024)
+        ),
+        "spark.ui.enabled": "false",
+    }
+
+
+def build_session(
+    app_name: str = "transkribusdu_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    b = SparkSession.builder.appName(app_name).master(master).config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     )
+    for k, v in engine_conf(shuffle_partitions).items():
+        b = b.config(k, v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def submit_session(app_name: str = "transkribusdu_spark") -> SparkSession:
+    """Session for spark-submit jobs (north rule: `spark-submit
+    --py-files transkribusdu_spark.zip jobs/<job>.py`).
+
+    spark-submit owns master / deploy mode / executor sizing; anything
+    it supplied (via --master / --conf / spark-defaults) is already in
+    the JVM-side properties, so the engine's tuned conf is applied only
+    as a DEFAULT for keys the submitter did not set — a cluster operator
+    can override every knob from the command line."""
+    from pyspark import SparkConf
+
+    if "PYSPARK_GATEWAY_PORT" in os.environ:
+        # Driver launched by spark-submit: the JVM (and its conf — master,
+        # --conf entries, spark-defaults) already exists; connect the py4j
+        # gateway so SparkConf() below reads it instead of an empty dict.
+        from pyspark.core.context import SparkContext
+
+        SparkContext._ensure_initialized()
+    submitted = SparkConf()  # loads spark.* properties set by spark-submit
+    b = SparkSession.builder.appName(submitted.get("spark.app.name", app_name))
+    if not submitted.contains("spark.master"):
+        b = b.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    for k, v in engine_conf().items():
+        if not submitted.contains(k):
+            b = b.config(k, v)
     return b.getOrCreate()
 
 
