@@ -56,6 +56,10 @@ def main() -> None:
     p.add_argument("--expected-docs", type=int, default=0, help="if set, the "
                    "metrics line reports lineage completeness against this "
                    "count")
+    p.add_argument("--no-overflow-audit", action="store_true",
+                   help="skip the giant-document audit table (a second parse "
+                   "pass of the corpus — see parse_overflows); truncation "
+                   "still applies, it just goes unrecorded")
     args = p.parse_args()
 
     # Imports resolve from the --py-files zip on executors; deferred past
@@ -90,9 +94,12 @@ def main() -> None:
         pages = pages.repartition(args.repartition, F.col("url"))
 
     extracted = extract_from_pages(pages, max_nodes_per_doc=cap)
-    overflows = parse_overflows(pages, max_nodes_per_doc=cap)
-    run_with_lineage(extracted, args.output, run_id=run_id,
-                     input_snapshot=snapshot, overflows=overflows)
+    overflows = (
+        None if args.no_overflow_audit
+        else parse_overflows(pages, max_nodes_per_doc=cap)
+    )
+    phases = run_with_lineage(extracted, args.output, run_id=run_id,
+                              input_snapshot=snapshot, overflows=overflows)
     wall = time.monotonic() - t0
 
     consistency = verify_lineage(
@@ -110,6 +117,7 @@ def main() -> None:
         "input_snapshot": snapshot,
         "docs_this_run": int(this_run),
         "wall_sec": round(wall, 3),
+        "phases": phases,
         "docs_per_sec": round(this_run / wall, 2) if wall > 0 else 0.0,
         "stragglers": straggler_stats(spark, args.output),
         "lineage": consistency,

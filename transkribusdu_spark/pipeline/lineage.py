@@ -67,7 +67,7 @@ def run_with_lineage(
     run_id: str,
     input_snapshot: str = "parquet",
     overflows: DataFrame | None = None,
-) -> None:
+) -> dict:
     """Write extracted output + lineage rows under ``out_dir``.
 
     The output rows carry this run's id, and lineage is computed by
@@ -79,9 +79,14 @@ def run_with_lineage(
     ``overflows`` (``parse.parse_overflows`` output) records the
     giant-document truncations of this run in an ``overflows`` table
     beside the lineage — the flag that says "this url's output is the
-    HEAD of the document, not all of it"."""
+    HEAD of the document, not all of it".
+
+    Returns per-phase wall seconds (extract+write / checksum pass /
+    overflow audit) so jobs can report where a run's time went."""
     ext_path = os.path.join(out_dir, "extracted")
+    t0 = time.monotonic()
     extracted.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(ext_path)
+    t1 = time.monotonic()
     increment = (
         extracted.sparkSession.read.parquet(ext_path)
         .filter(F.col("run_id") == run_id)
@@ -89,10 +94,16 @@ def run_with_lineage(
     )
     lin = with_lineage(increment, run_id, input_snapshot)
     lin.write.mode("append").parquet(os.path.join(out_dir, "lineage"))
+    t2 = time.monotonic()
     if overflows is not None:
         overflows.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
             os.path.join(out_dir, "overflows")
         )
+    return {
+        "extract_write_sec": round(t1 - t0, 3),
+        "lineage_sec": round(t2 - t1, 3),
+        "overflow_sec": round(time.monotonic() - t2, 3),
+    }
 
 
 def pending_pages(spark: SparkSession, pages: DataFrame, out_dir: str) -> DataFrame:
