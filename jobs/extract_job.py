@@ -77,8 +77,10 @@ def main() -> None:
     from transkribusdu_spark.session import submit_session
     from transkribusdu_spark.synth import pages_from_documents
 
+    if args.max_nodes_per_doc is not None and args.max_nodes_per_doc < 1:
+        p.error("--max-nodes-per-doc must be >= 1")
     run_id = args.run_id or f"run-{uuid.uuid4().hex[:12]}"
-    cap = args.max_nodes_per_doc or MAX_NODES_PER_DOC
+    cap = MAX_NODES_PER_DOC if args.max_nodes_per_doc is None else args.max_nodes_per_doc
     spark = submit_session(app_name=f"extract_job:{run_id}")
     t0 = time.monotonic()
 
@@ -119,7 +121,7 @@ def main() -> None:
         "wall_sec": round(wall, 3),
         "phases": phases,
         "docs_per_sec": round(this_run / wall, 2) if wall > 0 else 0.0,
-        "stragglers": straggler_stats(spark, args.output),
+        "stragglers": straggler_stats(spark, args.output, run_id=run_id),
         "lineage": consistency,
         "master": spark.sparkContext.master,
         "default_parallelism": spark.sparkContext.defaultParallelism,

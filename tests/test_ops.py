@@ -121,7 +121,7 @@ def test_simhash_blocking_equals_allpairs(docs):
 
 
 def test_simhash_blocking_equals_allpairs_fallback(docs):
-    # max_hamming=9 exercises the 5x12-bit <=1-flip fallback scheme
+    # max_hamming=9 exercises the 5-chunk <=1-flip fallback scheme
     # (3 chunks cannot cover distance 9: 9 = 3+3+3 > 3*2).
     pairs = dedup.simhash_near_pairs(docs, max_hamming=9).toPandas()
     sig = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
@@ -131,6 +131,22 @@ def test_simhash_blocking_equals_allpairs_fallback(docs):
         (a, b)
         for a, b in itertools.combinations(sorted(sig), 2)
         if bin(sig[a] ^ sig[b]).count("1") <= 9
+    }
+    assert set(zip(pairs.doc_a, pairs.doc_b)) == want
+
+
+def test_simhash_blocking_nondefault_bits(docs):
+    # Chunk geometry must follow the signature width: at bits=40 the
+    # chunks are 3x14 bits and recall must stay exact (a hard-coded
+    # 20-bit width would leave the top chunk constant here).
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=8, bits=40).toPandas()
+    sig = {r.doc_id: r.simhash for r in dedup.simhash(docs, bits=40).collect()}
+    import itertools
+
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sig), 2)
+        if bin(sig[a] ^ sig[b]).count("1") <= 8
     }
     assert set(zip(pairs.doc_a, pairs.doc_b)) == want
 

@@ -2,65 +2,48 @@
 --py-files transkribusdu_spark.zip jobs/extract_job.py`.
 
 The job script is copied into a temp dir and launched with a scrubbed
-PYTHONPATH from OUTSIDE the repo, so the package can resolve ONLY from
-the --py-files zip — this is the actual cluster deployment path, not an
-import-from-checkout simulation. Asserts the three job contracts:
-byte-identical extraction, complete per-partition lineage, and an
-idempotent --resume restart."""
+PYTHONPATH from OUTSIDE the repo (harness shared with
+tools/submit_scaling_run.py via tools/submitlib.py), so the package can
+resolve ONLY from the --py-files zip — this is the actual cluster
+deployment path, not an import-from-checkout simulation. Asserts the
+job contracts: byte-identical extraction, complete per-partition
+lineage, idempotent --resume restart, and a loud refusal to
+double-count a reused run_id."""
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
-import subprocess
 import sys
 
 import duckdb
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+import submitlib  # noqa: E402
+
 SF_DIR = "/root/testdata/sf0.001"
-SPARK_SUBMIT = shutil.which("spark-submit")
 
 
-def _submit(tmp, zip_path, *job_args):
-    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
-    env["PYSPARK_PYTHON"] = sys.executable
-    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
-    proc = subprocess.run(
-        [
-            SPARK_SUBMIT,
-            "--master", "local[4]",
-            "--conf", "spark.driver.memory=4g",
-            "--py-files", zip_path,
-            os.path.join(tmp, "extract_job.py"),
-            *job_args,
-        ],
+def _submit(tmp, zip_path, *job_args, timeout=300):
+    return submitlib.run_submit(
+        os.path.join(tmp, "extract_job.py"),
+        list(job_args),
+        master="local[4]",
+        zip_path=zip_path,
         cwd=tmp,
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=300,
+        conf={"spark.driver.memory": "4g"},
+        timeout=timeout,
     )
-    assert proc.returncode == 0, proc.stderr[-4000:]
-    metrics = [
-        json.loads(l) for l in proc.stdout.splitlines()
-        if l.startswith("{") and '"run_id"' in l
-    ]
-    assert len(metrics) == 1, proc.stdout[-2000:]
-    return metrics[0]
 
 
-@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+@pytest.mark.skipif(not os.path.exists(submitlib.SPARK_SUBMIT),
+                    reason="spark-submit not available")
 def test_submit_extract_resume_lineage(tmp_path):
     tmp = str(tmp_path)
     out = os.path.join(tmp, "out")
-    zip_path = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "make_pyfiles.py"),
-         os.path.join(tmp, "transkribusdu_spark.zip")],
-        capture_output=True, text=True, check=True,
-    ).stdout.strip()
+    zip_path = submitlib.build_zip(os.path.join(tmp, "transkribusdu_spark.zip"))
     shutil.copy(os.path.join(REPO, "jobs", "extract_job.py"), tmp)
 
     m1 = _submit(
@@ -72,6 +55,7 @@ def test_submit_extract_resume_lineage(tmp_path):
     assert m1["lineage"]["lineage_docs"] == 500
     assert m1["stragglers"]["partitions"] >= 1
     assert m1["master"] == "local[4]"  # spark-submit's --master won
+    assert set(m1["phases"]) == {"extract_write_sec", "lineage_sec", "overflow_sec"}
 
     # Byte-identical extraction against the source documents table.
     con = duckdb.connect()
@@ -96,3 +80,12 @@ def test_submit_extract_resume_lineage(tmp_path):
         f"select count(*), count(distinct url) from '{out}/extracted/*.parquet'"
     ).fetchone()
     assert n_rows == n_urls == 500
+
+    # Reusing a finished run_id (classic scheduler-retry shape) must fail
+    # LOUDLY instead of double-counting rA's documents in the lineage.
+    lineage_sql = f"select count(*) from '{out}/lineage/*.parquet' where run_id = 'rA'"
+    n_before = con.execute(lineage_sql).fetchone()[0]
+    with pytest.raises(RuntimeError, match="already has"):
+        _submit(tmp, zip_path, "--sf-dir", SF_DIR, "--output", out,
+                "--run-id", "rA", "--resume")
+    assert con.execute(lineage_sql).fetchone()[0] == n_before  # unchanged

@@ -10,7 +10,7 @@ zip, and the measured job includes the full production surface: scan ->
 fused extract -> parquet write -> per-partition lineage. Throughput is
 the job's own docs_per_sec metric. Writes BENCH/SUBMIT_SCALING.md.
 
-    SCALING_RUNS=3 SPARK_GRAFT_BENCH_MULT=400 python tools/submit_scaling_run.py
+    SCALING_RUNS=6 SPARK_GRAFT_BENCH_MULT=400 python tools/submit_scaling_run.py
 """
 
 from __future__ import annotations
@@ -23,16 +23,15 @@ import subprocess
 import sys
 import tempfile
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from submitlib import REPO, build_zip, run_submit
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-RUNS = int(os.environ.get("SCALING_RUNS", "3"))
+RUNS = int(os.environ.get("SCALING_RUNS", "6"))
 MULT = os.environ.get("SPARK_GRAFT_BENCH_MULT", "400")
 LEVELS = tuple(int(x) for x in os.environ.get("SCALING_LEVELS", "4,16").split(","))
 PARTITIONS = int(os.environ.get("SCALING_PARTITIONS", "192"))
 if len(LEVELS) != 2:
     raise SystemExit(f"SCALING_LEVELS must name exactly two levels; got {LEVELS!r}")
-
-SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
 
 
 def _write_snapshot(pages_dir: str) -> None:
@@ -51,57 +50,24 @@ def _write_snapshot(pages_dir: str) -> None:
 def submit(cpus: int, zip_path: str, job_path: str, pages_dir: str,
            work: str) -> dict:
     out_dir = os.path.join(work, f"out_{cpus}")
-    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
-    env["PYSPARK_PYTHON"] = sys.executable
-    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
-    proc = subprocess.run(
-        [
-            SPARK_SUBMIT,
-            "--master", f"local[{cpus}]",
-            "--conf", "spark.driver.memory=8g",
-            "--py-files", zip_path,
-            job_path,
-            "--pages", pages_dir,
-            "--output", out_dir,
-            "--run-id", f"scale-{cpus}",
-            "--no-overflow-audit",  # time ONE pass of the corpus per run
-        ],
-        cwd=work, env=env, capture_output=True, text=True, timeout=1800,
+    metrics = run_submit(
+        job_path,
+        ["--pages", pages_dir, "--output", out_dir,
+         "--run-id", f"scale-{cpus}",
+         "--no-overflow-audit"],  # time ONE pass of the corpus per run
+        master=f"local[{cpus}]",
+        zip_path=zip_path,
+        cwd=work,
+        conf={"spark.driver.memory": "8g"},
     )
-    if proc.returncode != 0:
-        raise SystemExit(proc.stderr[-4000:])
-    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
     shutil.rmtree(out_dir)  # fresh output per run: no resume short-circuit
-    return json.loads(line)
+    return metrics
 
 
-def main() -> None:
-    work = tempfile.mkdtemp(prefix="submit_scaling_")
-    pages_dir = os.path.join(work, "pages")
-    _write_snapshot(pages_dir)
-    zip_path = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "make_pyfiles.py"),
-         os.path.join(work, "transkribusdu_spark.zip")],
-        capture_output=True, text=True, check=True,
-    ).stdout.strip()
-    job_path = os.path.join(work, "extract_job.py")
-    shutil.copy(os.path.join(REPO, "jobs", "extract_job.py"), job_path)
-
-    sys.path.insert(0, REPO)
-    import bench as bench_mod
-
+def report(results: dict[int, list[dict]], pair_busy: list[float]) -> str:
     lo, hi = LEVELS
-    results: dict[int, list[dict]] = {c: [] for c in LEVELS}
-    pair_busy: list[float] = []
-    for i in range(RUNS):
-        pair_busy.append(bench_mod._wait_for_idle())
-        for cpus in (lo, hi):
-            r = submit(cpus, zip_path, job_path, pages_dir, work)
-            results[cpus].append(r)
-            print(f"pair {i} local[{cpus}] (busy {pair_busy[-1]:.2f}): "
-                  + json.dumps(r))
-
     ratio = hi // lo
+    docs = results[hi][0]["docs_this_run"]
     pair_effs = [
         results[hi][i]["docs_per_sec"] / (ratio * results[lo][i]["docs_per_sec"])
         for i in range(RUNS)
@@ -111,67 +77,119 @@ def main() -> None:
     # driver-side setup are small near-fixed costs whose share of the
     # wall grows as the job gets faster — report both so a reader can
     # tell noise, fixed-cost dilution, and true scaling loss apart.
-    def phase_eff(i: int) -> float:
-        lo_r = results[lo][i]["docs_this_run"] / results[lo][i]["phases"]["extract_write_sec"]
-        hi_r = results[hi][i]["docs_this_run"] / results[hi][i]["phases"]["extract_write_sec"]
-        return hi_r / (ratio * lo_r)
+    phase_effs = [
+        results[lo][i]["phases"]["extract_write_sec"]
+        / (ratio * results[hi][i]["phases"]["extract_write_sec"])
+        for i in range(RUNS)
+    ]
 
-    phase_effs = [phase_eff(i) for i in range(RUNS)]
-    eff = statistics.median(pair_effs)
-    med_lo = statistics.median(r["docs_per_sec"] for r in results[lo])
-    med_hi = statistics.median(r["docs_per_sec"] for r in results[hi])
-    docs = results[hi][0]["docs_this_run"]
+    def med(cpus: int, fn) -> float:
+        return statistics.median(fn(r) for r in results[cpus])
+
+    med_lo = med(lo, lambda r: r["docs_per_sec"])
+    med_hi = med(hi, lambda r: r["docs_per_sec"])
+    wall_lo = med(lo, lambda r: r["wall_sec"])
+    wall_hi = med(hi, lambda r: r["wall_sec"])
+    ew_lo = med(lo, lambda r: r["phases"]["extract_write_sec"])
+    ew_hi = med(hi, lambda r: r["phases"]["extract_write_sec"])
+    fixed_lo = med(lo, lambda r: r["wall_sec"] - r["phases"]["extract_write_sec"])
+    fixed_hi = med(hi, lambda r: r["wall_sec"] - r["phases"]["extract_write_sec"])
 
     lines = [
         "# Scaling evidence through the literal spark-submit surface",
         "",
-        f"Same interleaved-pair protocol as BASELINE.md, but each timed run is "
-        f"a separate `spark-submit --master local[k] --py-files "
-        f"transkribusdu_spark.zip jobs/extract_job.py` process (package "
-        f"importable ONLY from the zip; scrubbed PYTHONPATH), and the measured "
-        f"job is the full production path: snapshot scan -> fused "
-        f"parse+extract -> parquet write -> per-partition lineage rows. "
-        f"Throughput below is the job's own `docs_per_sec` metric, which "
-        f"includes the output + lineage writes (it is therefore NOT comparable "
-        f"to BASELINE.md's compute-only numbers — it exists to show the "
-        f"deployment surface itself scales, not to restate peak throughput).",
+        "Same interleaved-pair protocol as BASELINE.md, but each timed run is a "
+        "separate `spark-submit --master local[k] --py-files "
+        "transkribusdu_spark.zip jobs/extract_job.py` process (package "
+        "importable ONLY from the zip; scrubbed PYTHONPATH), and the measured "
+        "job is the full production path: snapshot scan -> fused parse+extract "
+        "-> parquet write of the output table -> per-partition lineage rows. "
+        "Throughput is the job's own `docs_per_sec` metric over that whole "
+        "path, so it is NOT comparable to BASELINE.md's compute-only numbers — "
+        "this document evidences that the deployment surface itself works and "
+        "scales; BASELINE.md remains the primary scaling-criterion evidence.",
         "",
         f"Input: {docs} documents ({PARTITIONS}-file snapshot from `{SF_DIR}`, "
         f"mult={MULT}), written once and read by both levels; {RUNS} "
-        f"interleaved pairs; pre-pair CPU busy fractions: "
-        + ", ".join(f"{b:.2f}" for b in pair_busy) + ".",
+        f"interleaved pairs with a per-pair /proc/stat idle gate (pre-pair "
+        f"busy fractions: " + ", ".join(f"{b:.2f}" for b in pair_busy) + ").",
         "",
-        "| parallelism | job docs/sec (median) |",
-        "|---|---|",
-        f"| local[{lo}] (N) | {med_lo:.2f} |",
-        f"| local[{hi}] ({ratio}N) | {med_hi:.2f} |",
+        "| parallelism | whole-job docs/sec (median) | wall s (median) | "
+        "extract+write phase s | fixed (setup+lineage) s |",
+        "|---|---|---|---|---|",
+        f"| local[{lo}] (N) | {med_lo:.2f} | {wall_lo:.1f} | {ew_lo:.1f} | {fixed_lo:.1f} |",
+        f"| local[{hi}] ({ratio}N) | {med_hi:.2f} | {wall_hi:.1f} | {ew_hi:.1f} | {fixed_hi:.1f} |",
         "",
-        f"**Scaling efficiency, whole job: median of per-pair ratios = "
-        f"{eff:.3f}** (pair ratios: "
-        + ", ".join(f"{e:.3f}" for e in pair_effs) + "; worst pair "
-        f"{min(pair_effs):.3f}). **Extract+write phase only: median "
+        f"**Whole-job scaling efficiency: median of per-pair ratios = "
+        f"{statistics.median(pair_effs):.3f}** (pair ratios: "
+        + ", ".join(f"{e:.3f}" for e in pair_effs)
+        + f"; worst {min(pair_effs):.3f}). **Extract+write phase only: median "
         f"{statistics.median(phase_effs):.3f}** (pair ratios: "
-        + ", ".join(f"{e:.3f}" for e in phase_effs) + ") — the phase split "
-        f"in each raw line separates the map-only scaling surface from the "
-        f"near-fixed lineage/setup costs, whose share of the wall grows as "
-        f"the job gets faster (fixed-cost dilution, not scaling loss). "
-        f"Values above 1.0 are intra-pair noise. The single-box occupancy "
-        f"ceiling quantified in BENCH/PARSE_SATURATION.md applies here "
-        f"identically.",
+        + ", ".join(f"{e:.3f}" for e in phase_effs) + ").",
+        "",
+        "## Where the gap to BASELINE.md's compute-only efficiency goes",
+        "",
+        f"1. **Fixed-cost dilution, not scaling loss.** Setup (input listing, "
+        f"zip distribution) plus the lineage checksum pass total "
+        f"~{fixed_hi:.0f} s at local[{hi}] and ~{fixed_lo:.0f} s at "
+        f"local[{lo}] — near-constant, so they cost {fixed_hi / wall_hi:.0%} "
+        f"of a {wall_hi:.0f}-s high-level job but only "
+        f"{fixed_lo / wall_lo:.0%} of the low-level job. A production run at "
+        f"the north rule's scale is hours long, where this vanishes; the "
+        f"phase split in every raw line below lets a reader remove it "
+        f"exactly.",
+        "2. **Output-write contention on one shared disk.** The extract+write "
+        "phase is the compute-only path plus the parquet write of the output "
+        "table. Job-commit is driver-serial and page-cache/disk writeback is "
+        "a single shared device on this box — the IO analogue of the "
+        "DRAM-bandwidth ceiling quantified engine-free in "
+        "BENCH/PARSE_SATURATION.md. On a real cluster, output IO is "
+        "per-executor (HDFS/S3 parallel commit), so this term — like the "
+        "DRAM ceiling — does not transfer to the north rule's "
+        "two-cluster-size criterion.",
+        "3. **Noise epochs.** This host shows +-30% noisy-neighbor throughput "
+        "epochs with zero local load; efficiency is only meaningful between "
+        "temporally-adjacent runs, hence medians over the gated pairs above.",
         "",
         "Raw metrics lines:",
         "```json",
     ]
-    for cpus in (lo, hi):
+    for cpus in LEVELS:
         for r in results[cpus]:
-            lines.append(json.dumps({"cpus": cpus, **r}))
+            lines.append(json.dumps(r))
     lines += ["```", ""]
-    out_md = os.path.join(REPO, "BENCH", "SUBMIT_SCALING.md")
-    with open(out_md, "w") as f:
-        f.write("\n".join(lines))
-    print(f"wrote {out_md}: eff median {eff:.3f}, pairs "
-          + ", ".join(f"{e:.3f}" for e in pair_effs))
-    shutil.rmtree(work)
+    return "\n".join(lines)
+
+
+def main() -> None:
+    work = tempfile.mkdtemp(prefix="submit_scaling_")
+    try:
+        pages_dir = os.path.join(work, "pages")
+        _write_snapshot(pages_dir)
+        zip_path = build_zip(os.path.join(work, "transkribusdu_spark.zip"))
+        job_path = os.path.join(work, "extract_job.py")
+        shutil.copy(os.path.join(REPO, "jobs", "extract_job.py"), job_path)
+
+        sys.path.insert(0, REPO)
+        import bench as bench_mod
+
+        lo, hi = LEVELS
+        results: dict[int, list[dict]] = {c: [] for c in LEVELS}
+        pair_busy: list[float] = []
+        for i in range(RUNS):
+            pair_busy.append(bench_mod._wait_for_idle())
+            for cpus in (lo, hi):
+                r = submit(cpus, zip_path, job_path, pages_dir, work)
+                results[cpus].append(r)
+                print(f"pair {i} local[{cpus}] (busy {pair_busy[-1]:.2f}): "
+                      + json.dumps(r))
+
+        out_md = os.path.join(REPO, "BENCH", "SUBMIT_SCALING.md")
+        with open(out_md, "w") as f:
+            f.write(report(results, pair_busy))
+        print(f"wrote {out_md}")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":

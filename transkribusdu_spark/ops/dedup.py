@@ -569,9 +569,14 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, bits: int = 60) ->
     # and the kernel ran twice without the persist.
     sig = simhash(docs, bits).persist(StorageLevel.MEMORY_AND_DISK)
     if max_hamming <= 8:
-        n_chunks, chunk, n_flips = 3, 20, 2  # floor(8/3) = 2 flips
+        n_chunks, n_flips = 3, 2  # floor(8/3) = 2 flips
     else:
-        n_chunks, chunk, n_flips = 5, 12, 1  # floor(9/5) = 1 flip
+        n_chunks, n_flips = 5, 1  # floor(9/5) = 1 flip
+    # Chunk width follows `bits` (ceil division) so every signature bit
+    # is covered by exactly one chunk at any signature width — a
+    # hard-coded width would leave the top chunk constant for small
+    # `bits`, silently degrading the blocking join toward all-pairs.
+    chunk = -(-bits // n_chunks)
 
     def chunk_val(i):
         # packed join key: chunk index in the high bits, chunk value low

@@ -82,8 +82,26 @@ def run_with_lineage(
     HEAD of the document, not all of it".
 
     Returns per-phase wall seconds (extract+write / checksum pass /
-    overflow audit) so jobs can report where a run's time went."""
+    overflow audit) so jobs can report where a run's time went.
+
+    ``run_id`` must be fresh per attempt: the lineage increment is
+    identified by run_id on disk, so re-running a completed run_id would
+    double-count its documents in the lineage table. That is refused
+    loudly here — a scheduler retry should resume under a NEW run_id
+    (``pending_pages`` makes the retry skip finished urls)."""
     ext_path = os.path.join(out_dir, "extracted")
+    lin_path = os.path.join(out_dir, "lineage")
+    spark = extracted.sparkSession
+    try:
+        seen = spark.read.parquet(lin_path).filter(F.col("run_id") == run_id).count()
+    except Exception:
+        seen = 0
+    if seen:
+        raise ValueError(
+            f"run_id {run_id!r} already has {seen} lineage row(s) under "
+            f"{out_dir} — re-running it would double-count its documents; "
+            f"resume under a fresh run_id instead"
+        )
     t0 = time.monotonic()
     extracted.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(ext_path)
     t1 = time.monotonic()
@@ -93,7 +111,7 @@ def run_with_lineage(
         .drop("run_id")
     )
     lin = with_lineage(increment, run_id, input_snapshot)
-    lin.write.mode("append").parquet(os.path.join(out_dir, "lineage"))
+    lin.write.mode("append").parquet(lin_path)
     t2 = time.monotonic()
     if overflows is not None:
         overflows.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
@@ -118,11 +136,16 @@ def pending_pages(spark: SparkSession, pages: DataFrame, out_dir: str) -> DataFr
     return pages.join(done, "url", "left_anti")
 
 
-def straggler_stats(spark: SparkSession, out_dir: str) -> dict:
+def straggler_stats(spark: SparkSession, out_dir: str,
+                    run_id: str | None = None) -> dict:
     """Skew check (BASELINE.md): no partition should take > 4x the median
     partition wall time. Uses the per-partition wall_ms the lineage rows
-    already record — zero extra instrumentation."""
+    already record — zero extra instrumentation. Pass ``run_id`` to scope
+    the stats to one run; the default mixes every run in ``out_dir``,
+    which is meaningless after a resume at a different parallelism."""
     lin = spark.read.parquet(os.path.join(out_dir, "lineage"))
+    if run_id is not None:
+        lin = lin.filter(F.col("run_id") == run_id)
     rows = [r.wall_ms for r in lin.select("wall_ms").collect() if r.wall_ms > 0]
     if not rows:
         return {"partitions": 0, "median_ms": 0, "max_ms": 0, "ratio": 0.0}

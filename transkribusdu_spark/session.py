@@ -89,7 +89,8 @@ def submit_session(app_name: str = "transkribusdu_spark") -> SparkSession:
         # Driver launched by spark-submit: the JVM (and its conf — master,
         # --conf entries, spark-defaults) already exists; connect the py4j
         # gateway so SparkConf() below reads it instead of an empty dict.
-        from pyspark.core.context import SparkContext
+        # (Top-level import: pyspark.core.* is a 4.x-only path.)
+        from pyspark import SparkContext
 
         SparkContext._ensure_initialized()
     submitted = SparkConf()  # loads spark.* properties set by spark-submit
