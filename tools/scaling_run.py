@@ -179,7 +179,10 @@ def main() -> None:
         "the whole-job-vs-compute-only gap to fixed-cost dilution on a "
         "sub-minute job, driver-serial output commit, and single-disk "
         "writeback — single-box terms that, like the DRAM ceiling above, do "
-        "not transfer to a real multi-node cluster.",
+        "not transfer to a real multi-node cluster. An unsaturated-levels "
+        "variant (BENCH/SUBMIT_SCALING_UNSATURATED.md) measures the same "
+        "full job at parallelism the box can absorb, isolating engine "
+        "scaling from machine saturation.",
         "",
         "Per-query medians (seconds):",
         "",

@@ -107,7 +107,10 @@ def report(results: dict[int, list[dict]], pair_busy: list[float]) -> str:
         "Throughput is the job's own `docs_per_sec` metric over that whole "
         "path, so it is NOT comparable to BASELINE.md's compute-only numbers — "
         "this document evidences that the deployment surface itself works and "
-        "scales; BASELINE.md remains the primary scaling-criterion evidence.",
+        "scales; BASELINE.md remains the primary scaling-criterion evidence. "
+        "Levels where the box has headroom isolate engine scaling from "
+        "machine saturation (run with SCALING_LEVELS=2,8 "
+        "SUBMIT_SCALING_OUT=BENCH/SUBMIT_SCALING_UNSATURATED.md).",
         "",
         f"Input: {docs} documents ({PARTITIONS}-file snapshot from `{SF_DIR}`, "
         f"mult={MULT}), written once and read by both levels; {RUNS} "
@@ -184,7 +187,9 @@ def main() -> None:
                 print(f"pair {i} local[{cpus}] (busy {pair_busy[-1]:.2f}): "
                       + json.dumps(r))
 
-        out_md = os.path.join(REPO, "BENCH", "SUBMIT_SCALING.md")
+        out_md = os.environ.get(
+            "SUBMIT_SCALING_OUT", os.path.join(REPO, "BENCH", "SUBMIT_SCALING.md")
+        )
         with open(out_md, "w") as f:
             f.write(report(results, pair_busy))
         print(f"wrote {out_md}")
