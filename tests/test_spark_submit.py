@@ -89,3 +89,34 @@ def test_submit_extract_resume_lineage(tmp_path):
         _submit(tmp, zip_path, "--sf-dir", SF_DIR, "--output", out,
                 "--run-id", "rA", "--resume")
     assert con.execute(lineage_sql).fetchone()[0] == n_before  # unchanged
+
+
+@pytest.mark.skipif(not os.path.exists(submitlib.SPARK_SUBMIT),
+                    reason="spark-submit not available")
+def test_submit_dedup_job(tmp_path):
+    tmp = str(tmp_path)
+    out = os.path.join(tmp, "dups")
+    zip_path = submitlib.build_zip(os.path.join(tmp, "transkribusdu_spark.zip"))
+    shutil.copy(os.path.join(REPO, "jobs", "dedup_job.py"), tmp)
+
+    m = submitlib.run_submit(
+        os.path.join(tmp, "dedup_job.py"),
+        ["--sf-dir", SF_DIR, "--op", "simhash", "--output", out],
+        master="local[4]",
+        zip_path=zip_path,
+        cwd=tmp,
+        conf={"spark.driver.memory": "4g"},
+        timeout=300,
+    )
+    assert m["op"] == "simhash"
+    assert m["input_docs"] == 500
+    con = duckdb.connect()
+    got, bad = con.execute(
+        f"""
+        select count(*),
+               sum(case when hamming > 8 or doc_a >= doc_b then 1 else 0 end)
+        from '{out}/*.parquet'
+        """
+    ).fetchone()
+    assert m["result_rows"] == got > 0
+    assert bad == 0  # output contract: doc_a < doc_b, hamming <= max
