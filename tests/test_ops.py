@@ -285,25 +285,29 @@ def test_occupancy_aware_neardup_config():
 
 
 def test_forced_hot_bucket_blocked_verify():
-    """All vectors in ONE bucket, >= 200k of them, verified under a
+    """All vectors in ONE bucket, >= 120k of them, verified under a
     capped address-space budget: the blocked kernel needs O(chunk * m)
     scratch where the unblocked m x m similarity matrix would be
-    ~360 GB. Runs in a subprocess so the RLIMIT_AS cap cannot leak into
+    ~115 GB. Runs in a subprocess so the RLIMIT_AS cap cannot leak into
     the test session; also asserts survivor parity against a direct
-    O(s^2) check on a planted near-dup cluster."""
+    O(s^2) check on a planted near-dup cluster. (Sized 120k, not 200k:
+    the memory proof is identical — 115 GB vs a 3 GiB cap — and the
+    runtime stays minutes under the subprocess deadline even on a
+    noisy-neighbor-throttled box, where the 200k form measured within
+    5% of the 570 s deadline and flaked.)"""
     import subprocess
     import sys
 
     code = r"""
 import resource, sys
 import numpy as np
-# cap address space at 3 GiB: the unblocked 200k x 200k double matrix
-# alone would need ~320 GiB, so only a blocked verify can pass
+# cap address space at 3 GiB: the unblocked 120k x 120k double matrix
+# alone would need ~115 GiB, so only a blocked verify can pass
 resource.setrlimit(resource.RLIMIT_AS, (3 << 30, 3 << 30))
 from transkribusdu_spark.ops.similarity import _verified_bucket_pairs
 
 rng = np.random.default_rng(7)
-m, d = 200_000, 8
+m, d = 120_000, 8
 M = rng.standard_normal((m, d))
 # plant a tight cluster: 5 vectors almost identical
 base = rng.standard_normal(d)
@@ -362,8 +366,12 @@ def test_shingle_hash_sets_match_string_sets(spark, docs):
 def test_blocked_verify_matches_bruteforce_randomized():
     """Property check: for random (m, d, guard, block size) the blocked
     triangular verify emits EXACTLY the brute-force survivor set, with
-    cosines equal to the dot/(na*nb) reference within 1 ulp — including
-    block sizes that force chunk=1 stripes and guards at -1/+1."""
+    cosines equal to the dot/(na*nb) reference within a few ulps (the
+    kernel's refine pass sums dots with einsum, the reference with a
+    dgemm — summation grouping differs, measured <= 2 ulps; the margin
+    stack that matters downstream is 1e-6 guard vs 5e-7 round-6
+    granularity) — including block sizes that force chunk=1 stripes and
+    guards at -1/+1."""
     import numpy as np
 
     from transkribusdu_spark.ops.similarity import _verified_bucket_pairs
@@ -387,7 +395,7 @@ def test_blocked_verify_matches_bruteforce_randomized():
             v = ref.get(k, got.get(k))
             assert abs(v - guard) < 1e-12, (trial, k, v, guard)
         for k in set(ref) & set(got):
-            assert got[k] == ref[k] or abs(got[k] - ref[k]) < 4e-16, (trial, k)
+            assert got[k] == ref[k] or abs(got[k] - ref[k]) < 1e-15, (trial, k)
 
 
 def test_topk_prune_lossless_randomized():

