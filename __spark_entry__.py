@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from transkribusdu_spark import relational as rel
 from transkribusdu_spark.functions.xycut import page_coverage_profile
-from transkribusdu_spark.ops import dedup, similarity, textstats
+from transkribusdu_spark.ops import dedup, dedupgraph, similarity, textstats, urls
 from transkribusdu_spark.ops.multimodal import attach_media, extract_binary_features
 from transkribusdu_spark.pipeline.conjugate import dual_graph
 from transkribusdu_spark.pipeline.edges import build_edges, edges_from_pages
@@ -463,6 +463,45 @@ def _q_ann_ivf(spark, sf_dir):
     return similarity.ivf_knn(e, similarity.self_queries(e, 10), k=5)
 
 
+def _q_url_dedup(spark, sf_dir):
+    """URL-snapshot dedup over deterministically-derived crawl variants:
+    each document contributes three snapshot urls — two that
+    canonicalize to the same form (default port + tracking params +
+    fragment + trailing slash vs the clean form, different warc_ts) and
+    one distinct singleton. The oracle states the expected canonical
+    output directly from doc_id, so it is independent of the regex
+    implementation under test (ops/urls.canonical_url)."""
+    sid = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 97).cast("string")
+    base = F.concat(
+        F.lit("http://host"), h, F.lit(".example.org/d/"), sid
+    )
+    messy = F.concat(
+        F.lit("HTTP://Host"), h, F.lit(".Example.ORG:80/d/"), sid,
+        F.lit("/?utm_source=x&q=1#frag"),
+    )
+    clean = F.concat(base, F.lit("?q=1"))
+    snaps = _docs(spark, sf_dir).select(
+        F.explode(
+            F.array(
+                F.struct(messy.alias("url"), (F.col("doc_id") + 100).alias("ts")),
+                F.struct(clean.alias("url"), (F.col("doc_id") + 200).alias("ts")),
+                F.struct(base.alias("url"), (F.col("doc_id") + 50).alias("ts")),
+            )
+        ).alias("s")
+    ).select(
+        F.col("s.url").alias("url"),
+        F.timestamp_seconds(F.col("s.ts")).alias("warc_ts"),
+    )
+    out = urls.url_dedup(snaps)
+    return out.select(
+        "canonical_url",
+        "kept_url",
+        F.col("kept_ts").cast("long").alias("kept_ts"),
+        "n_snapshots",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — the driver gate verifies at most 50, so
     every registered query carries a current verdict. Related operator
@@ -507,6 +546,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "simhash_near_pairs": lambda s, d: dedup.simhash_near_pairs(_docs(s, d)),
         "embedding_near_dups": lambda s, d: dedup.embedding_near_dups(_emb(s, d)),
+        # end-to-end corpus dedup: LSH pairs -> distributed connected
+        # components (large-star/small-star) -> cluster labels
+        "dedup_clusters": lambda s, d: dedupgraph.dedup_clusters(_docs(s, d)),
+        # Lee-et-al-style duplicated-passage spans (exact k-token windows)
+        "dup_ngram_spans": lambda s, d: dedup.duplicate_ngram_spans(_docs(s, d)),
         # --- similarity search ---
         "knn_bruteforce": _q_knn,
         "ann_lsh": _q_ann_lsh,
@@ -516,12 +560,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- relational / aggregation coverage (SURVEY §2.5-2.7) ---
         "label_histogram": rel.label_histogram,
         "class_weights": rel.class_weights,
-        "n_chars_quartiles": rel.n_chars_quartiles,
         "token_df_topk": rel.token_df_topk,
-        "lang_source_matrix": rel.lang_source_matrix,
-        "pricing_summary": rel.pricing_summary,
+        # (round 5: pricing_summary, top_orders_by_revenue,
+        # n_chars_quartiles and lang_source_matrix moved to pytest
+        # parity — tests/test_relational_parity.py — to keep the
+        # registry at the 50-entry driver cap while registering the
+        # north-rule-aligned corpus queries: dedup_clusters,
+        # dup_ngram_spans, repetition_stats, url_snapshot_dedup)
+        # --- web-corpus quality + url dedup ---
+        "repetition_stats": lambda s, d: textstats.repetition_stats(_docs(s, d)),
+        "url_snapshot_dedup": _q_url_dedup,
         "revenue_by_nation": rel.revenue_by_nation,
-        "top_orders_by_revenue": rel.top_orders_by_revenue,
         "first_events_per_user": rel.first_events_per_user,
         "user_event_type_jaccard": rel.user_event_type_jaccard,
         # --- event-time windowing (streaming-capable agg, batch parity) ---
@@ -673,6 +722,79 @@ from inter
 join sizes sa on sa.doc_id = doc_a
 join sizes sb on sb.doc_id = doc_b
 where round(n_inter::double / (sa.sz + sb.sz - n_inter), 6) >= 0.7
+"""
+
+# dedup_clusters oracle: exact-Jaccard pairs (the same uncapped shingle
+# computation minhash_lsh_pairs is gated against) -> transitive closure
+# by recursive CTE -> min doc_id per component. DuckDB's recursive
+# UNION deduplicates states, so the closure is finite and exact.
+_DEDUP_CLUSTERS_SQL = """
+with recursive docs_t as (select doc_id, string_split(text,' ') toks from documents),
+sh as (select doc_id, unnest(list_distinct(
+         [toks[i]||' '||toks[i+1]||' '||toks[i+2] for i in range(1, len(toks)-1)])) as shingle
+       from docs_t where len(toks) >= 3),
+sizes as (select doc_id, count(*) sz from sh group by doc_id),
+inter as (select a.doc_id doc_a, b.doc_id doc_b, count(*) n_inter
+          from sh a join sh b using (shingle) where a.doc_id < b.doc_id
+          group by 1, 2),
+pairs as (select doc_a, doc_b
+          from inter
+          join sizes sa on sa.doc_id = doc_a
+          join sizes sb on sb.doc_id = doc_b
+          where round(n_inter::double / (sa.sz + sb.sz - n_inter), 6) >= 0.7),
+und as (select doc_a u, doc_b v from pairs union select doc_b, doc_a from pairs),
+nodes as (select distinct u from und),
+reach(u, v) as (
+  select u, u from nodes
+  union
+  select r.u, e.v from reach r join und e on r.v = e.u
+)
+select u doc_id, min(v) component from reach group by u
+"""
+
+# dup_ngram_spans oracle: k=8 token windows with positions, corpus-wide
+# occurrence count >= 2, per-doc gaps-and-islands merge (same contract
+# as ops/dedup.duplicate_ngram_spans).
+_DUP_SPANS_SQL = """
+with t as (select doc_id, string_split(text,' ') toks from documents),
+w as (select doc_id, u.pos pos, u.gram gram from (
+   select doc_id, unnest([{'pos': i-1, 'gram': array_to_string(toks[i:i+7], ' ')}
+                          for i in range(1, len(toks)-6)]) u
+   from t where len(toks) >= 8)),
+d as (select *, count(*) over (partition by gram) c from w),
+f as (select doc_id, pos from d where c >= 2),
+g as (select doc_id, pos,
+             case when pos - lag(pos) over (partition by doc_id order by pos) > 8
+                  then 1 else 0 end brk from f),
+s as (select doc_id, pos,
+             sum(brk) over (partition by doc_id order by pos rows unbounded preceding) grp
+      from g)
+select doc_id, min(pos)::bigint start_tok, (max(pos)+7)::bigint end_tok,
+       count(*)::bigint n_windows
+from s group by doc_id, grp
+"""
+
+# repetition_stats oracle: Gopher-style within-doc repetition — the
+# most frequent bigram's share of bigram occurrences, and the share of
+# 5-gram occurrences whose gram repeats within the doc (ops/textstats.
+# repetition_stats, top_n=2 / dup_n=5 defaults).
+_REPETITION_SQL = """
+with t as (select doc_id, string_split(text,' ') toks from documents),
+g2 as (select doc_id, unnest([toks[i]||' '||toks[i+1] for i in range(1, len(toks))]) gram
+       from t where len(toks) >= 2),
+c2 as (select doc_id, gram, count(*) c from g2 group by doc_id, gram),
+top as (select doc_id, round(max(c)::double / sum(c), 6) top_ngram_frac from c2 group by doc_id),
+g5 as (select doc_id, unnest([array_to_string(toks[i:i+4], ' ')
+                              for i in range(1, len(toks)-3)]) gram
+       from t where len(toks) >= 5),
+c5 as (select doc_id, gram, count(*) c from g5 group by doc_id, gram),
+dup as (select doc_id,
+               round(coalesce(sum(c) filter (where c > 1), 0)::double / sum(c), 6) dup_ngram_frac
+        from c5 group by doc_id)
+select t.doc_id, coalesce(top_ngram_frac, 0.0) top_ngram_frac,
+       coalesce(dup_ngram_frac, 0.0) dup_ngram_frac
+from t left join top on top.doc_id = t.doc_id
+       left join dup on dup.doc_id = t.doc_id
 """
 
 _SIMHASH_CTE = """
@@ -875,30 +997,31 @@ def oracle_sql() -> dict[str, str]:
             s as (select sum(w_raw) s from w)
             select lang, round(w_raw * k / s, 6) weight from w, k, s
         """,
-        "n_chars_quartiles": """
-            select round(quantile_cont(n_chars, 0.25), 6) q25,
-                   round(quantile_cont(n_chars, 0.5), 6) q50,
-                   round(quantile_cont(n_chars, 0.75), 6) q75
-            from documents
-        """,
         "token_df_topk": """
             with tok as (select doc_id, unnest(list_distinct(string_split(text,' '))) token
                          from documents)
             select token, count(*) df from tok group by token
             order by df desc, token asc limit 20
         """,
-        "lang_source_matrix": "select lang, source, count(*) n from documents group by lang, source",
-        "pricing_summary": """
-            select l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) sum_qty,
-                   round(sum(l_extendedprice), 2) sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) sum_charge,
-                   round(avg(l_quantity), 6) avg_qty,
-                   round(avg(l_discount), 6) avg_disc,
-                   count(*) count_order
-            from lineitem where l_shipdate <= timestamp '1998-09-02'
-            group by l_returnflag, l_linestatus
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "dup_ngram_spans": _DUP_SPANS_SQL,
+        "repetition_stats": _REPETITION_SQL,
+        # url_snapshot_dedup: expected canonical output stated directly
+        # from doc_id — independent of the canonicalization regexes the
+        # Spark side exercises. The messy variant (upper-case scheme and
+        # host, :80, utm_ param, #fragment, trailing slash) must
+        # collapse onto the clean '?q=1' form, which wins on warc_ts;
+        # the query-less base url is its own singleton.
+        "url_snapshot_dedup": """
+            with d as (select doc_id,
+                              'http://host' || (doc_id % 97) ||
+                              '.example.org/d/' || doc_id as base
+                       from documents)
+            select base || '?q=1' canonical_url, base || '?q=1' kept_url,
+                   doc_id + 200 kept_ts, 2::bigint n_snapshots
+            from d
+            union all
+            select base, base, doc_id + 50, 1::bigint from d
         """,
         "revenue_by_nation": """
             select n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) revenue
@@ -907,13 +1030,6 @@ def oracle_sql() -> dict[str, str]:
             join customer on o_custkey = c_custkey
             join nation on c_nationkey = n_nationkey
             group by n_name
-        """,
-        "top_orders_by_revenue": """
-            select o_orderkey, o_orderdate,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) revenue
-            from lineitem join orders on l_orderkey = o_orderkey
-            group by o_orderkey, o_orderdate
-            order by revenue desc, o_orderkey asc limit 10
         """,
         "first_events_per_user": """
             with r as (select user_id, event_id, event_type,

@@ -55,6 +55,7 @@ QUERIES_ONLY = {
 KNOWN_QUERIES = {
     "q1_extract", "q2_edges", "q3_minhash_lsh", "q4_simhash_pairs", "q5_knn",
     "q6_textstats", "q7_pricing", "q8_ann_lsh", "q9_embed_neardup",
+    "q10_dup_spans",
 }
 if QUERIES_ONLY and not QUERIES_ONLY <= KNOWN_QUERIES:
     # a typo'd name would otherwise yield an EMPTY bench that reads as a
@@ -170,7 +171,8 @@ def main() -> None:
         # the timing, determinism does). Each snapshot is built only if
         # a selected query reads it.
         need_docs = QUERIES_ONLY is None or bool(
-            QUERIES_ONLY & {"q3_minhash_lsh", "q4_simhash_pairs", "q6_textstats"}
+            QUERIES_ONLY & {"q3_minhash_lsh", "q4_simhash_pairs", "q6_textstats",
+                            "q10_dup_spans"}
         )
         need_emb = QUERIES_ONLY is None or bool(
             QUERIES_ONLY & {"q5_knn", "q8_ann_lsh", "q9_embed_neardup"}
@@ -226,6 +228,9 @@ def main() -> None:
         timed("q3_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs).count())
         # q4: simhash near-dup pairs (amplified corpus).
         timed("q4_simhash_pairs", lambda: dedup.simhash_near_pairs(docs).count())
+        # q10: duplicated-passage spans (exact k-token windows, JVM-only
+        # explode -> gram-count groupBy -> semi join -> islands window).
+        timed("q10_dup_spans", lambda: dedup.duplicate_ngram_spans(docs).count())
         # q5: brute-force knn (amplified vectors).
         timed("q5_knn", lambda: similarity.knn_bruteforce(
             emb, similarity.self_queries(emb, 10), k=5).collect())

@@ -619,6 +619,71 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, bits: int = 60) ->
     return joined.groupBy("doc_a", "doc_b").agg(F.first("hamming").alias("hamming"))
 
 
+DUP_SPAN_K = 8
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame, k: int = DUP_SPAN_K, min_occurrences: int = 2
+) -> DataFrame:
+    """Exact duplicated-substring spans: maximal token ranges of each
+    document covered by k-token windows whose exact text occurs at
+    ``min_occurrences``+ positions corpus-wide (including other
+    positions of the same document) — the span-level exact dedup of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better"), which removes duplicated PASSAGES that document-level
+    dedup (exact/minhash) cannot see.
+
+    Output: (doc_id, start_tok, end_tok, n_windows) per maximal span —
+    token positions are 0-based inclusive; overlapping or adjacent
+    duplicated windows (start delta <= k) merge into one span.
+
+    Shape — entirely built-in/JVM, no Python:
+      tokenize -> windowed k-grams with positions (posexplode of a
+      transform over sequence) -> groupBy(gram) occurrence count ->
+      left-semi join back (duplicated windows only) -> per-doc
+      gaps-and-islands (lag + running sum window) -> span aggregate.
+    The only shuffles are the gram-count groupBy and the per-doc window;
+    the semi join build side is the duplicated-gram set. Hot boilerplate
+    grams are harmless here: there is no inverted-index SELF-join (the
+    quadratic risk ngram_jaccard_pairs guards against) — a gram in 10^6
+    docs contributes 10^6 semi-join probe hits, linear in corpus size.
+    At 100 TB the gram strings themselves dominate shuffle bytes; the
+    natural refinement (hash grams to int64 before the groupBy, exactly
+    like shingle_hash_sets) is semantics-preserving and left out only so
+    the DuckDB oracle stays a plain string computation.
+    """
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = docs.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    )
+    dup = (
+        wins.groupBy("gram")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_occurrences)
+    )
+    dup_wins = wins.join(dup.select("gram"), "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grp = (
+        dup_wins.withColumn(
+            "brk",
+            F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
+        )
+        .withColumn("grp", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return grp.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("long").alias("start_tok"),
+        (F.max("pos") + k - 1).cast("long").alias("end_tok"),
+        F.count("*").alias("n_windows"),
+    ).drop("grp")
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
 

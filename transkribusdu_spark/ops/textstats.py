@@ -94,6 +94,64 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, top_n: int = 2, dup_n: int = 5) -> DataFrame:
+    """Gopher-style within-document repetition filters (Rae et al. 2021):
+
+    - ``top_ngram_frac``: fraction of all ``top_n``-gram occurrences
+      taken by the single most frequent ``top_n``-gram of the doc
+      (boilerplate/listicle detector);
+    - ``dup_ngram_frac``: fraction of ``dup_n``-gram occurrences whose
+      gram occurs more than once within the doc (internal duplication).
+
+    Docs with fewer than ``max(top_n, dup_n)`` tokens get 0.0 for the
+    undefined fraction. Per-doc groupBys only — the grouping key is
+    (doc_id, gram), so the shuffle is partitioned by document content
+    and no corpus-wide hot key exists; both fractions round to 6
+    decimals at the output boundary for cross-engine stability.
+    """
+
+    def _grams(n: int) -> F.Column:
+        toks = F.split(F.col("text"), " ")
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    top = (
+        docs.select("doc_id", F.explode(_grams(top_n)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_ngram_frac"))
+    )
+    dup = (
+        docs.select("doc_id", F.explode(_grams(dup_n)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
+                / F.sum("c"),
+                6,
+            ).alias("dup_ngram_frac")
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(top, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top_ngram_frac", F.lit(0.0)).alias("top_ngram_frac"),
+            F.coalesce("dup_ngram_frac", F.lit(0.0)).alias("dup_ngram_frac"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Content fingerprints: full-text md5 plus a normalized (sorted
     unique tokens) fingerprint — the classic dedup canonicalization."""

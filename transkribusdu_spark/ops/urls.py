@@ -1,0 +1,71 @@
+"""URL canonicalization + URL-level snapshot dedup for
+Common-Crawl-style page tables — the first dedup a web corpus applies
+(the same url is crawled at many timestamps and under many tracking-
+parameter variants), before any content-level dedup runs.
+
+Pure built-in column expressions (Java-regex side) with RE2-compatible
+patterns so a SQL engine reproduces them exactly; semantics are frozen
+by tests/test_dedupgraph.py against literal fixtures AND a DuckDB
+mirror.
+
+Canonicalization contract (documented, deterministic):
+  1. strip the fragment (``#...``);
+  2. lowercase the scheme and host (never the path/query);
+  3. drop a default port (``:80`` for http, ``:443`` for https);
+  4. drop tracking query parameters (``utm_*``, ``fbclid``, ``gclid``,
+     ``msclkid``) and any resulting empty ``?``;
+  5. strip one trailing slash from a non-root path (``/a/`` -> ``/a``,
+     but ``http://h/`` keeps its root slash).
+No ``www.`` stripping and no percent-decoding: both change host/path
+identity and are corpus-policy decisions, not canonical form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TRACKING_RE = "^(utm_[^=]*|fbclid|gclid|msclkid)="
+
+
+def canonical_url(url: F.Column) -> F.Column:
+    """Canonical form of ``url`` per the module contract."""
+    u = F.regexp_replace(url, "#.*$", "")
+    head = F.lower(F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
+    tail = F.regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    head = F.regexp_replace(head, "^(http://[^/?#:]*):80$", "$1")
+    head = F.regexp_replace(head, "^(https://[^/?#:]*):443$", "$1")
+    path = F.regexp_extract(tail, "^([^?]*)", 1)
+    query = F.regexp_extract(tail, "^[^?]*\\?(.*)$", 1)
+    kept = F.array_join(
+        F.filter(F.split(query, "&"), lambda p: ~p.rlike(_TRACKING_RE)), "&"
+    )
+    path = F.regexp_replace(path, "^(/.+)/$", "$1")
+    return F.concat(
+        head, path, F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit(""))
+    )
+
+
+def url_dedup(pages: DataFrame) -> DataFrame:
+    """One row per canonical url: the kept (latest) snapshot.
+
+    Keeps the row with the greatest ``warc_ts`` (ties: lexicographically
+    smallest raw ``url``) and counts collapsed snapshots. The mixed
+    ordering (ts DESC, url ASC) is not expressible as one ``max_by``
+    struct key, so the pick is a row_number window — one shuffle on the
+    canonical url with a per-partition sort over tiny groups (snapshot
+    counts per url are small and hot hosts are not hot KEYS here: each
+    url canonicalizes separately, so no salting is required).
+    """
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col("warc_ts").desc(), F.col("url").asc()
+    )
+    canon = pages.withColumn("canonical_url", canonical_url(F.col("url")))
+    ranked = canon.withColumn("rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("rn") == 1).select(
+        "canonical_url",
+        F.col("url").alias("kept_url"),
+        F.col("warc_ts").alias("kept_ts"),
+    )
+    counts = canon.groupBy("canonical_url").agg(F.count("*").alias("n_snapshots"))
+    return kept.join(counts, "canonical_url")
