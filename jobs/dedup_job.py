@@ -12,7 +12,11 @@ writes the result parquet::
 
 Ops: `exact` (one survivor per md5 group), `minhash` (MinHash-LSH
 candidates verified with exact Jaccard), `simhash` (Hamming <= k
-near-pairs), `ngram` (exact word-n-gram Jaccard pairs).
+near-pairs), `ngram` (exact word-n-gram Jaccard pairs), `cluster`
+(minhash pairs -> distributed connected components -> per-doc
+(component, survivor) verdicts for the WHOLE corpus), `clean` (same,
+but writes the surviving documents (doc_id, text) — the deduplicated
+corpus a training pipeline consumes downstream).
 """
 
 from __future__ import annotations
@@ -28,7 +32,9 @@ def main() -> None:
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--documents", help="parquet dir with (doc_id, text)")
     src.add_argument("--sf-dir", help="testdata sf dir: use its documents.parquet")
-    p.add_argument("--op", choices=("exact", "minhash", "simhash", "ngram"),
+    p.add_argument("--op",
+                   choices=("exact", "minhash", "simhash", "ngram",
+                            "cluster", "clean"),
                    default="minhash")
     p.add_argument("--output", required=True, help="result parquet dir")
     p.add_argument("--run-id", default=None)
@@ -54,6 +60,18 @@ def main() -> None:
         result = dedup.minhash_lsh_pairs(docs, **kw)
     elif args.op == "simhash":
         result = dedup.simhash_near_pairs(docs, max_hamming=args.max_hamming)
+    elif args.op in ("cluster", "clean"):
+        from transkribusdu_spark.ops import dedupgraph
+
+        kw = {} if args.threshold is None else {"threshold": args.threshold}
+        pairs = dedup.minhash_lsh_pairs(docs, **kw)
+        verdicts = dedupgraph.dedup_survivors(docs, pairs)
+        if args.op == "cluster":
+            result = verdicts
+        else:
+            result = docs.join(
+                verdicts.filter("survivor").select("doc_id"), "doc_id", "left_semi"
+            )
     else:
         kw = {} if args.threshold is None else {"threshold": args.threshold}
         result = dedup.ngram_jaccard_pairs(docs, **kw)

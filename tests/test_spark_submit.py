@@ -120,3 +120,59 @@ def test_submit_dedup_job(tmp_path):
     ).fetchone()
     assert m["result_rows"] == got > 0
     assert bad == 0  # output contract: doc_a < doc_b, hamming <= max
+
+
+def test_submit_dedup_cluster_and_clean(tmp_path):
+    """End-to-end corpus dedup through the deployment surface: `--op
+    cluster` verdicts must equal a union-find closure over the pairs an
+    independent `--op minhash` run emits, and `--op clean` must keep
+    exactly the survivor documents."""
+    tmp = str(tmp_path)
+    zip_path = submitlib.build_zip(os.path.join(tmp, "transkribusdu_spark.zip"))
+    shutil.copy(os.path.join(REPO, "jobs", "dedup_job.py"), tmp)
+
+    def run(op, out):
+        return submitlib.run_submit(
+            os.path.join(tmp, "dedup_job.py"),
+            ["--sf-dir", SF_DIR, "--op", op, "--output", out],
+            master="local[4]", zip_path=zip_path, cwd=tmp,
+            conf={"spark.driver.memory": "4g"}, timeout=300,
+        )
+
+    pairs_out = os.path.join(tmp, "pairs")
+    cluster_out = os.path.join(tmp, "clusters")
+    clean_out = os.path.join(tmp, "clean")
+    run("minhash", pairs_out)
+    mc = run("cluster", cluster_out)
+    ml = run("clean", clean_out)
+
+    con = duckdb.connect()
+    pairs = con.execute(f"select doc_a, doc_b from '{pairs_out}/*.parquet'").fetchall()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    verdicts = con.execute(
+        f"select doc_id, component, survivor from '{cluster_out}/*.parquet'"
+    ).fetchall()
+    assert mc["result_rows"] == len(verdicts) == 500  # one verdict per doc
+    got = {d: c for d, c, _ in verdicts if c != d or d in want}
+    assert {d: c for d, c in got.items() if d in want} == want
+    survivors = {d for d, _, s in verdicts if s}
+    assert survivors == {d for d, c, _ in verdicts if d == c}
+
+    clean = {r[0] for r in con.execute(
+        f"select doc_id from '{clean_out}/*.parquet'").fetchall()}
+    assert ml["result_rows"] == len(clean)
+    assert clean == survivors
