@@ -14,7 +14,7 @@ from transkribusdu_spark.ops.dedupgraph import (
     dedup_components,
     dedup_survivors,
 )
-from transkribusdu_spark.ops.urls import canonical_url, url_dedup
+from transkribusdu_spark.ops.urls import canonical_url, url_dedup, url_dedup_rows
 
 
 @pytest.fixture(scope="module")
@@ -271,6 +271,17 @@ def test_canonical_url_literals(spark):
     assert got == [want for _, want in CANON_CASES]
 
 
+def test_canonical_url_idempotent(spark):
+    """Canonical form is a fixed point: applying the contract twice
+    changes nothing (required for canonical keys to be join-stable)."""
+    us = [u for u, _ in CANON_CASES] + [want for _, want in CANON_CASES]
+    df = spark.createDataFrame([(u,) for u in us], "url string")
+    got = df.select(
+        canonical_url(F.col("url")).alias("c")
+    ).select("c", canonical_url(F.col("c")).alias("c2")).collect()
+    assert all(r.c == r.c2 for r in got)
+
+
 def test_url_dedup_keeps_latest_snapshot(spark):
     rows = [
         ("HTTP://Example.COM:80/a?utm_source=x", 100),
@@ -287,3 +298,9 @@ def test_url_dedup_keeps_latest_snapshot(spark):
     assert a.n_snapshots == 3
     assert a.kept_url == "http://example.com/a"
     assert a.kept_ts.timestamp() == 300
+    # full-row form agrees and carries the original columns
+    rows = {r.canonical_url: r for r in url_dedup_rows(pages).collect()}
+    assert set(rows) == set(out)
+    for c, r in rows.items():
+        assert (r.url, r.warc_ts, r.n_snapshots) == (
+            out[c].kept_url, out[c].kept_ts, out[c].n_snapshots)

@@ -176,3 +176,58 @@ def test_submit_dedup_cluster_and_clean(tmp_path):
         f"select doc_id from '{clean_out}/*.parquet'").fetchall()}
     assert ml["result_rows"] == len(clean)
     assert clean == survivors
+
+
+def test_submit_corpus_job_full_funnel(tmp_path):
+    """The end-to-end corpus construction job through the deployment
+    surface, over a pages snapshot with PLANTED url-snapshot duplicates:
+    every url also appears as an older tracking-param variant. The url
+    dedup stage must collapse the corpus back to one snapshot per page
+    (keeping the newer one), extraction stays byte-identical, content
+    dedup keeps one doc per near-dup cluster, and the lineage verdict
+    is complete."""
+    tmp = str(tmp_path)
+    zip_path = submitlib.build_zip(os.path.join(tmp, "transkribusdu_spark.zip"))
+    shutil.copy(os.path.join(REPO, "jobs", "corpus_job.py"), tmp)
+    pages_dir = os.path.join(tmp, "pages")
+    out = os.path.join(tmp, "corpus")
+
+    # build the doubled snapshot with a throwaway local session
+    from pyspark.sql import functions as F
+
+    from transkribusdu_spark.session import build_session
+    from transkribusdu_spark.synth import pages_from_documents
+
+    spark = build_session(master="local[4]", app_name="corpus_fixture")
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = pages_from_documents(spark, SF_DIR)
+    older_variant = pages.withColumn(
+        "url", F.concat(F.col("url"), F.lit("?utm_source=dup#frag"))
+    ).withColumn("warc_ts", F.col("warc_ts") - F.expr("interval 1 day"))
+    pages.unionByName(older_variant).write.mode("overwrite").parquet(pages_dir)
+    spark.stop()
+
+    m = submitlib.run_submit(
+        os.path.join(tmp, "corpus_job.py"),
+        ["--pages", pages_dir, "--output", out],
+        master="local[4]", zip_path=zip_path, cwd=tmp,
+        conf={"spark.driver.memory": "4g"}, timeout=480,
+    )
+    assert m["funnel"]["pages_in"] == 1000
+    assert m["funnel"]["after_url_dedup"] == 500  # variants collapsed
+    assert m["funnel"]["extracted"] == 500
+    assert m["funnel"]["after_content_dedup"] == m["corpus_docs"] < 500
+    assert m["lineage"]["complete"] is True
+
+    # the kept snapshot is the NEWER (un-suffixed) url, and extraction
+    # over the survivors is byte-identical to the source documents
+    con = duckdb.connect()
+    n_variant, n_mismatch = con.execute(
+        f"""
+        select sum(case when e.url like '%utm_source=dup%' then 1 else 0 end),
+               sum(case when e.extracted_text <> d.text then 1 else 0 end)
+        from '{out}/extracted/*.parquet' e
+        join '{SF_DIR}/documents.parquet' d on e.doc_id = d.doc_id
+        """
+    ).fetchone()
+    assert (n_variant, n_mismatch) == (0, 0)

@@ -46,6 +46,31 @@ def canonical_url(url: F.Column) -> F.Column:
     )
 
 
+def url_dedup_rows(pages: DataFrame) -> DataFrame:
+    """Full-row URL snapshot dedup: all original columns of the ONE kept
+    (latest ``warc_ts``, ties broken by lexicographically smallest raw
+    ``url``) row per canonical url, plus ``canonical_url`` and
+    ``n_snapshots``. This is the pipeline-facing form — downstream
+    stages keep the html/text payload; :func:`url_dedup` is the
+    summary-facing form.
+
+    One shuffle on the canonical url; the window's per-group sort is
+    over snapshot counts per url (small), and the count rides the same
+    partitioning as a window aggregate instead of a second groupBy+join.
+    """
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col("warc_ts").desc(), F.col("url").asc()
+    )
+    wc = Window.partitionBy("canonical_url")
+    return (
+        pages.withColumn("canonical_url", canonical_url(F.col("url")))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_snapshots", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def url_dedup(pages: DataFrame) -> DataFrame:
     """One row per canonical url: the kept (latest) snapshot.
 
