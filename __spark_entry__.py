@@ -752,13 +752,15 @@ reach(u, v) as (
 select u doc_id, min(v) component from reach group by u
 """
 
-# dup_ngram_spans oracle: k=8 token windows with positions, corpus-wide
-# occurrence count >= 2, per-doc gaps-and-islands merge (same contract
-# as ops/dedup.duplicate_ngram_spans).
+# dup_ngram_spans oracle: k=8 token windows with positions (gram keyed
+# by the pinned 60-bit md5-prefix hash, mirroring the Spark side),
+# corpus-wide occurrence count >= 2, per-doc gaps-and-islands merge
+# (same contract as ops/dedup.duplicate_ngram_spans).
 _DUP_SPANS_SQL = """
 with t as (select doc_id, string_split(text,' ') toks from documents),
 w as (select doc_id, u.pos pos, u.gram gram from (
-   select doc_id, unnest([{'pos': i-1, 'gram': array_to_string(toks[i:i+7], ' ')}
+   select doc_id, unnest([{'pos': i-1,
+                           'gram': cast(('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15)) as ubigint)::bigint}
                           for i in range(1, len(toks)-6)]) u
    from t where len(toks) >= 8)),
 d as (select *, count(*) over (partition by gram) c from w),
@@ -780,11 +782,12 @@ from s group by doc_id, grp
 # repetition_stats, top_n=2 / dup_n=5 defaults).
 _REPETITION_SQL = """
 with t as (select doc_id, string_split(text,' ') toks from documents),
-g2 as (select doc_id, unnest([toks[i]||' '||toks[i+1] for i in range(1, len(toks))]) gram
+g2 as (select doc_id, unnest([cast(('0x' || substr(md5(toks[i]||' '||toks[i+1]), 1, 15)) as ubigint)::bigint
+                              for i in range(1, len(toks))]) gram
        from t where len(toks) >= 2),
 c2 as (select doc_id, gram, count(*) c from g2 group by doc_id, gram),
 top as (select doc_id, round(max(c)::double / sum(c), 6) top_ngram_frac from c2 group by doc_id),
-g5 as (select doc_id, unnest([array_to_string(toks[i:i+4], ' ')
+g5 as (select doc_id, unnest([cast(('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15)) as ubigint)::bigint
                               for i in range(1, len(toks)-3)]) gram
        from t where len(toks) >= 5),
 c5 as (select doc_id, gram, count(*) c from g5 group by doc_id, gram),

@@ -149,7 +149,8 @@ def test_survivors_one_per_component_and_isolated_docs_kept(docs):
 DUP_SPAN_SQL = """
 with t as (select doc_id, string_split(text,' ') toks from documents),
 w as (select doc_id, u.pos pos, u.gram gram from (
-   select doc_id, unnest([{'pos': i-1, 'gram': array_to_string(toks[i:i+%(k)d-1], ' ')}
+   select doc_id, unnest([{'pos': i-1,
+                           'gram': cast(('0x' || substr(md5(array_to_string(toks[i:i+%(k)d-1], ' ')), 1, 15)) as ubigint)::bigint}
                           for i in range(1, len(toks)-%(k)d+2)]) u
    from t where len(toks) >= %(k)d)),
 d as (select *, count(*) over (partition by gram) c from w),
@@ -209,11 +210,12 @@ def test_duplicate_ngram_spans_literal_spark(spark):
 # ---------------------------------------------------------------------------
 REPETITION_SQL = """
 with t as (select doc_id, string_split(text,' ') toks from documents),
-g2 as (select doc_id, unnest([toks[i]||' '||toks[i+1] for i in range(1, len(toks))]) gram
+g2 as (select doc_id, unnest([cast(('0x' || substr(md5(toks[i]||' '||toks[i+1]), 1, 15)) as ubigint)::bigint
+                              for i in range(1, len(toks))]) gram
        from t where len(toks) >= 2),
 c2 as (select doc_id, gram, count(*) c from g2 group by doc_id, gram),
 top as (select doc_id, round(max(c)::double / sum(c), 6) top_ngram_frac from c2 group by doc_id),
-g5 as (select doc_id, unnest([array_to_string(toks[i:i+4], ' ')
+g5 as (select doc_id, unnest([cast(('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15)) as ubigint)::bigint
                               for i in range(1, len(toks)-3)]) gram
        from t where len(toks) >= 5),
 c5 as (select doc_id, gram, count(*) c from g5 group by doc_id, gram),

@@ -647,19 +647,27 @@ def duplicate_ngram_spans(
     grams are harmless here: there is no inverted-index SELF-join (the
     quadratic risk ngram_jaccard_pairs guards against) — a gram in 10^6
     docs contributes 10^6 semi-join probe hits, linear in corpus size.
-    At 100 TB the gram strings themselves dominate shuffle bytes; the
-    natural refinement (hash grams to int64 before the groupBy, exactly
-    like shingle_hash_sets) is semantics-preserving and left out only so
-    the DuckDB oracle stays a plain string computation.
+
+    Grams are hashed JVM-side to 60-bit ints (the same mirrored
+    md5-prefix hash the simhash oracle pins) BEFORE the groupBy, so the
+    shuffle key is 8 bytes instead of a k-token string — at 100 TB the
+    gram text would dominate shuffle bytes. Cross-engine exact: the
+    DuckDB oracle computes the identical hash, so any collision (a
+    falsely-duplicated window; expected n^2/2^61 over n distinct grams,
+    ~5e4 windows per 10^12 — each at worst widens a span by < k tokens)
+    appears identically on both sides.
     """
     toks = F.split(F.col("text"), " ")
     grams = F.when(
         F.size(toks) >= k,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+            lambda i: F.conv(
+                F.substring(F.md5(F.array_join(F.slice(toks, i + 1, k), " ")), 1, 15),
+                16, 10,
+            ).cast("long"),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<long>"))
     wins = docs.select(
         "doc_id", F.posexplode(grams).alias("pos", "gram")
     )

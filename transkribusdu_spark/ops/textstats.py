@@ -107,7 +107,11 @@ def repetition_stats(docs: DataFrame, top_n: int = 2, dup_n: int = 5) -> DataFra
     undefined fraction. Per-doc groupBys only — the grouping key is
     (doc_id, gram), so the shuffle is partitioned by document content
     and no corpus-wide hot key exists; both fractions round to 6
-    decimals at the output boundary for cross-engine stability.
+    decimals at the output boundary for cross-engine stability. Grams
+    shuffle as the pinned 60-bit md5-prefix hash (8-byte keys, not
+    n-token strings; only counts are consumed downstream, and the
+    DuckDB oracle computes the identical hash so a within-doc collision
+    appears on both sides).
     """
 
     def _grams(n: int) -> F.Column:
@@ -116,9 +120,14 @@ def repetition_stats(docs: DataFrame, top_n: int = 2, dup_n: int = 5) -> DataFra
             F.size(toks) >= n,
             F.transform(
                 F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice(toks, i + 1, n), " ")), 1, 15
+                    ),
+                    16, 10,
+                ).cast("long"),
             ),
-        ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<long>"))
 
     top = (
         docs.select("doc_id", F.explode(_grams(top_n)).alias("gram"))
