@@ -128,3 +128,47 @@ def test_hot_shingle_guard_not_forced_broadcast(spark, sf_dir):
     assert "Hint" not in analyzed, "forced join hint found in hot-shingle guard"
     # the guard itself must still be there (left-anti join on shingle)
     assert "LeftAnti" in analyzed, "hot-shingle anti-join missing"
+
+
+def test_url_dedup_rows_single_shuffle_jvm_only(spark, sf_dir):
+    """URL snapshot dedup must shuffle exactly once (on canonical_url)
+    — the row_number pick and the snapshot count are windows sharing
+    that one partitioning — and stay entirely JVM-side (regex
+    canonicalization is built-in expressions, no Python UDF)."""
+    from transkribusdu_spark.ops.urls import url_dedup_rows
+    from transkribusdu_spark.synth import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir).select("url", "warc_ts")
+    plan = _physical(url_dedup_rows(pages))
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert "Python" not in plan, "url canonicalization fell out of the JVM"
+
+
+def test_duplicate_ngram_spans_jvm_only_int_gram_keys(spark, sf_dir):
+    """The duplicated-span pipeline must be pure built-in expressions
+    (no Python in the hot path) and shuffle gram keys as the hashed
+    LONG, never the gram string (shuffle-width guard for 100 TB)."""
+    from transkribusdu_spark.ops import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = dedup.duplicate_ngram_spans(docs)
+    import re
+
+    plan = _physical(df)
+    assert "Python" not in plan, "span pipeline fell out of the JVM"
+    # long attributes print as name#<id>L in the analyzed plan; a
+    # string gram would print as gram#<id> with no suffix
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert re.search(r"gram#\d+L", analyzed), "gram key is not a long"
+    assert not re.search(r"gram#\d+(?!\d|L)", analyzed), "string gram leaked into the plan"
+
+
+def test_repetition_stats_jvm_only(spark, sf_dir):
+    """Repetition fractions must stay whole-stage JVM (no Python UDF)
+    with partial aggregation present on the (doc_id, gram) groupBys."""
+    from transkribusdu_spark.ops import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _physical(textstats.repetition_stats(docs))
+    assert "Python" not in plan, "repetition stats fell out of the JVM"
+    assert plan.count("HashAggregate") >= 4, "missing partial aggregation"
