@@ -128,3 +128,37 @@ def test_user_sessions_gap_semantics(spark):
     )
     got = {(r.user_id, r.session_id): r.n_events for r in user_sessions(ev).collect()}
     assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_stream_dedup_urls_cross_batch(spark, sf_dir, tmp_path):
+    """Streaming first-wins url dedup: a second batch of files carrying
+    tracking-variant urls of batch-1 pages (inside the watermark) must
+    be suppressed by checkpointed state; genuinely new urls pass."""
+    from pyspark.sql import functions as F
+
+    from transkribusdu_spark.streaming.incremental import stream_dedup_urls
+
+    pages_dir = str(tmp_path / "pages_dd")
+    out_dir = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    pages = pages_from_documents(spark, sf_dir).limit(40).cache()
+
+    pages.limit(30).write.mode("overwrite").parquet(pages_dir)
+    q = stream_dedup_urls(spark, pages_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 30
+
+    # batch 2: 10 new urls + 30 tracking-variant dupes of batch 1,
+    # stamped slightly later but within the 24h watermark
+    variants = pages.limit(30).withColumn(
+        "url", F.concat("url", F.lit("?utm_source=refetch"))
+    ).withColumn("warc_ts", F.col("warc_ts") + F.expr("interval 1 hour"))
+    pages.subtract(pages.limit(30)).unionByName(variants).write.mode(
+        "append"
+    ).parquet(pages_dir)
+    q2 = stream_dedup_urls(spark, pages_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 40  # 30 + 10 new; all 30 variants suppressed
+    assert out.filter(F.col("url").contains("utm_source=refetch")).count() == 0
+    assert out.select("canonical_url").distinct().count() == 40

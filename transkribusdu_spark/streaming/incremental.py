@@ -12,6 +12,9 @@ Common-Crawl ingest would use:
 - ``windowed_event_counts``: event-time windowed aggregation with a
   watermark for late data (the events table plays the role of a
   crawler telemetry stream).
+- ``stream_dedup_urls``: streaming first-wins dedup on the canonical
+  url with watermark-bounded state — the ingest-time guard against a
+  crawler re-fetching the same page under snapshot/tracking variants.
 """
 
 from __future__ import annotations
@@ -58,6 +61,44 @@ def stream_extract(
         .start()
     )
     return q
+
+
+def stream_dedup_urls(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "24 hours",
+):
+    """Streaming URL dedup over a growing pages directory: the FIRST
+    arrival per canonical url (ops/urls.canonical_url) is kept, later
+    snapshot/tracking variants whose event time falls within
+    ``watermark`` of it are dropped. State is the canonical-url keys
+    seen inside the watermark horizon — BOUNDED: Spark evicts keys older
+    than the watermark, so a perpetual crawl never accumulates
+    unbounded state (the batch ``ops/urls.url_dedup_rows`` is the
+    snapshot-global, latest-wins form; first-wins is the only semantics
+    an online one-pass dedup can give).
+
+    Returns the started AvailableNow StreamingQuery (drain, checkpoint,
+    stop — rerunning processes only new files, and the checkpointed
+    state still suppresses duplicates of urls from earlier runs within
+    the watermark)."""
+    from ..ops.urls import canonical_url
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+    deduped = (
+        pages.withColumn("canonical_url", canonical_url(F.col("url")))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
