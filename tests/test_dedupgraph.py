@@ -306,3 +306,25 @@ def test_url_dedup_keeps_latest_snapshot(spark):
     for c, r in rows.items():
         assert (r.url, r.warc_ts, r.n_snapshots) == (
             out[c].kept_url, out[c].kept_ts, out[c].n_snapshots)
+
+
+def test_components_reliable_checkpoint_path(spark, tmp_path):
+    """With a checkpoint dir configured (the cluster deployment shape),
+    the loop must take the RELIABLE checkpoint branch and still
+    converge to union-find labels."""
+    sc = spark.sparkContext
+    assert not sc._jsc.sc().getCheckpointDir().isDefined()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        edges = [(i, i + 1) for i in range(25)] + [(100, 103), (103, 99)]
+        got = dict(
+            dedup_components(
+                spark.createDataFrame(edges, "doc_a long, doc_b long")
+            ).collect()
+        )
+        assert got == _union_find(edges)
+    finally:
+        # restore: the local-checkpoint branch is the default elsewhere
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )

@@ -9,9 +9,10 @@ in MapReduce and Beyond", SoCC'14) expressed as DataFrame joins — each
 round is two groupBy/join stages over the edge list, converging in
 O(log^2 n) rounds to per-component star graphs. No driver-side
 union-find, no collect: the edge list never leaves the cluster, and each
-round's result is persisted + localCheckpoint'd so the lineage (and
-therefore the replay cost of an executor loss) stays bounded by one
-round, not the whole loop. Near-dup graphs are overwhelmingly tiny
+round's result is persisted + checkpointed — reliably (HDFS/S3
+checkpoint dir) when the session has one, so an executor loss replays
+at most one round; localCheckpoint otherwise (local runs) — so the
+lineage stays bounded by one round, not the whole loop. Near-dup graphs are overwhelmingly tiny
 star/clique clusters, so in practice 2-3 rounds converge; the loop still
 carries the logarithmic worst-case bound for adversarial chains
 (a 1M-doc path graph converges in ~20 rounds, not 1M).
@@ -83,10 +84,21 @@ def dedup_components(pairs: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> DataF
     component. Alternates large-star/small-star until the edge set is
     stable (then every component is a star rooted at its minimum).
     Each round materializes via persist so the convergence check and the
-    next round share one computation, and localCheckpoint truncates the
+    next round share one computation, and a checkpoint (reliable when a
+    checkpoint dir is configured, local otherwise) truncates the
     logical plan so round N's plan does not embed rounds 1..N-1.
     """
     spark = pairs.sparkSession
+    # Plan-truncation strategy per round: a RELIABLE checkpoint when the
+    # session has a checkpoint dir (cluster runs — survives executor
+    # loss, which localCheckpoint blocks do not), localCheckpoint
+    # otherwise (local/test runs — no shared storage required). Either
+    # way round N's plan never embeds rounds 1..N-1.
+    reliable = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
     edges = _canon(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -100,7 +112,7 @@ def dedup_components(pairs: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> DataF
 
     prev = edges
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(prev)).localCheckpoint(eager=True)
+        nxt = _truncate(_small_star(_large_star(prev)))
         # Convergence: identical edge sets. Both sides are distinct
         # canonical sets, so |A| == |B| and |A \ B| == 0 iff A == B.
         stable = (
