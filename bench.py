@@ -96,6 +96,23 @@ def _cpu_busy_frac(interval: float = 0.5) -> float:
     return 1.0 - (i1 - i0) / dt
 
 
+def _cpu_probe_sec() -> float:
+    """Single-thread CPU speed probe: a fixed, deterministic numpy
+    workload (~0.3 s on an unthrottled core). Recorded in the JSON so
+    bench files from different epochs are comparable — this box's
+    hypervisor-level noisy neighbor slows the SAME code 2-3x in bad
+    windows with zero guest processes to show for it. Compare two
+    BENCH_r*.json honestly by normalizing with the probe ratio."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((600, 600))
+    t0 = time.perf_counter()
+    for _ in range(80):
+        a = np.tanh(a @ a.T / 600.0)
+    return round(time.perf_counter() - t0, 4)
+
+
 def _wait_for_idle() -> float:
     """Block until measured CPU busy fraction drops below the threshold
     (or the wait budget runs out). Returns the busy fraction at start
@@ -303,6 +320,7 @@ def main() -> None:
             "runs_per_query": BENCH_RUNS,
             "start_cpu_busy": round(start_load, 3),
             "start_load": round(os.getloadavg()[0], 2),
+            "cpu_probe_sec": _cpu_probe_sec(),
             "sf": sf,
             "docs": n_docs,
             "dedup_docs": n_amp_docs,
