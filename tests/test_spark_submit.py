@@ -178,7 +178,7 @@ def test_submit_dedup_cluster_and_clean(tmp_path):
     assert clean == survivors
 
 
-def test_submit_corpus_job_full_funnel(tmp_path):
+def test_submit_corpus_job_full_funnel(spark, tmp_path):
     """The end-to-end corpus construction job through the deployment
     surface, over a pages snapshot with PLANTED url-snapshot duplicates:
     every url also appears as an older tracking-param variant. The url
@@ -192,20 +192,19 @@ def test_submit_corpus_job_full_funnel(tmp_path):
     pages_dir = os.path.join(tmp, "pages")
     out = os.path.join(tmp, "corpus")
 
-    # build the doubled snapshot with a throwaway local session
+    # build the doubled snapshot with the SHARED session fixture — a
+    # build_session().stop() here would kill the suite-wide
+    # SparkContext (getOrCreate returns the live one) for every test
+    # file after this one
     from pyspark.sql import functions as F
 
-    from transkribusdu_spark.session import build_session
     from transkribusdu_spark.synth import pages_from_documents
 
-    spark = build_session(master="local[4]", app_name="corpus_fixture")
-    spark.sparkContext.setLogLevel("ERROR")
     pages = pages_from_documents(spark, SF_DIR)
     older_variant = pages.withColumn(
         "url", F.concat(F.col("url"), F.lit("?utm_source=dup#frag"))
     ).withColumn("warc_ts", F.col("warc_ts") - F.expr("interval 1 day"))
     pages.unionByName(older_variant).write.mode("overwrite").parquet(pages_dir)
-    spark.stop()
 
     m = submitlib.run_submit(
         os.path.join(tmp, "corpus_job.py"),
