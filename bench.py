@@ -155,6 +155,7 @@ def main() -> None:
         n_docs = pages.count()
 
         start_load = _wait_for_idle()
+        probe_start = _cpu_probe_sec()
         timings: dict[str, float] = {}
         timings_min: dict[str, float] = {}
         timings_runs: dict[str, list[float]] = {}
@@ -320,7 +321,11 @@ def main() -> None:
             "runs_per_query": BENCH_RUNS,
             "start_cpu_busy": round(start_load, 3),
             "start_load": round(os.getloadavg()[0], 2),
-            "cpu_probe_sec": _cpu_probe_sec(),
+            # probe at timing start (pre-queries, post-idle-gate) and at
+            # assembly: a large end/start ratio marks a run whose later
+            # queries were throttled mid-flight
+            "cpu_probe_sec": probe_start,
+            "cpu_probe_end_sec": _cpu_probe_sec(),
             "sf": sf,
             "docs": n_docs,
             "dedup_docs": n_amp_docs,
