@@ -509,32 +509,55 @@ def _scored_query_pairs(
     """(query, member) cosine pairs for one bucket, self-pairs dropped,
     BLOCKED over query rows so scratch stays O(chunk * m) — same bound
     as :func:`_verified_bucket_pairs` (a hot bucket costs passes, not
-    memory). Identical dot-then-divide op order.
+    memory).
 
-    With ``k``, each query emits only pairs within 1e-6 of its k-th best
-    raw cosine in this bucket, bounding OUTPUT (not just scratch) to
-    ~k rows/query. Lossless for the final top-k: an excluded pair has
-    raw < kth - 1e-6; JVM round(6) moves any value by < 5e-7, so after
-    rounding it is STRICTLY below k retained pairs and can never enter
-    the global top-k under (cosine desc, vec_id asc) — including every
-    round-to-equal tie at the boundary, which the 1e-6 margin retains."""
+    With ``k``, the per-stripe scan runs as a float32 sgemm over unit
+    vectors (half the bytes, no outer-product/divide passes — the same
+    filter-then-refine shape as :func:`_verified_bucket_pairs`): each
+    query keeps pairs within ``6e-5`` of its k-th best float32 cosine,
+    then ONLY the kept pairs get the exact float64 ``dot / (qn * mn)``
+    — the op order the oracles mirror. Lossless for the final top-k:
+    float32 unit-dot error is <= ~5e-6 at d = 64, so the 6e-5 band is a
+    strict superset of the old exact ``kth - 1e-6`` band — every pair
+    whose exact value could reach the k-th slot (including round(6)
+    ties at the boundary, which a 1e-6 margin retains: JVM round moves
+    values < 5e-7) survives the filter, and the downstream exact rank
+    (cosine desc, vec_id asc) makes the final cut. Output stays ~k
+    rows/query (the wider band admits only pairs within 6e-5 of the
+    boundary). Non-finite refined cosines (zero-norm rows) are dropped,
+    matching the old NaN-compare behaviour.
+
+    Without ``k`` every pair is emitted, so a refine pass would cost
+    more than it saves — the float64 stripe computes values directly."""
     m = len(mids)
     qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
     mn = np.sqrt(np.einsum("ij,ij->i", M, M))
-    chunk = max(1, int(block_bytes // (8 * m)))
+    prune = k is not None and m > k
+    if prune:
+        Qn = (Q / np.where(qn == 0.0, 1.0, qn)[:, None]).astype(np.float32)
+        Mn = (M / np.where(mn == 0.0, 1.0, mn)[:, None]).astype(np.float32)
+    chunk = max(1, int(block_bytes // ((4 if prune else 8) * m)))
     out_q: list[np.ndarray] = []
     out_v: list[np.ndarray] = []
     out_c: list[np.ndarray] = []
     for lo in range(0, len(qids), chunk):
         hi = min(lo + chunk, len(qids))
-        S = (Q[lo:hi] @ M.T) / np.outer(qn[lo:hi], mn)
         nonself = qids[lo:hi, None] != mids[None, :]
-        keep = nonself
-        if k is not None and m > k:
-            masked = np.where(nonself, S, -np.inf)
+        if prune:
+            S32 = Qn[lo:hi] @ Mn.T
+            masked = np.where(nonself, S32, np.float32(-np.inf))
             kth = np.partition(masked, m - k, axis=1)[:, m - k]
-            keep = nonself & (S >= kth[:, None] - 1e-6)
-        ia, ib = np.nonzero(keep)
+            keep = nonself & (S32 >= kth[:, None] - np.float32(6e-5))
+            ia, ib = np.nonzero(keep)
+            a = lo + ia
+            cs = np.einsum("ij,ij->i", Q[a], M[ib]) / (qn[a] * mn[ib])
+            fin = np.isfinite(cs)
+            out_q.append(qids[a[fin]])
+            out_v.append(mids[ib[fin]])
+            out_c.append(cs[fin])
+            continue
+        S = (Q[lo:hi] @ M.T) / np.outer(qn[lo:hi], mn)
+        ia, ib = np.nonzero(nonself)
         out_q.append(qids[lo + ia])
         out_v.append(mids[ib])
         out_c.append(S[ia, ib])
