@@ -75,22 +75,15 @@ def url_dedup(pages: DataFrame) -> DataFrame:
     """One row per canonical url: the kept (latest) snapshot.
 
     Keeps the row with the greatest ``warc_ts`` (ties: lexicographically
-    smallest raw ``url``) and counts collapsed snapshots. The mixed
-    ordering (ts DESC, url ASC) is not expressible as one ``max_by``
-    struct key, so the pick is a row_number window — one shuffle on the
-    canonical url with a per-partition sort over tiny groups (snapshot
-    counts per url are small and hot hosts are not hot KEYS here: each
-    url canonicalizes separately, so no salting is required).
+    smallest raw ``url``) and counts collapsed snapshots. A projection
+    of :func:`url_dedup_rows`: ONE shuffle on the canonical url (the
+    row pick and the count are windows sharing that partitioning; hot
+    hosts are not hot KEYS here — each url canonicalizes separately, so
+    no salting is required).
     """
-    w = Window.partitionBy("canonical_url").orderBy(
-        F.col("warc_ts").desc(), F.col("url").asc()
-    )
-    canon = pages.withColumn("canonical_url", canonical_url(F.col("url")))
-    ranked = canon.withColumn("rn", F.row_number().over(w))
-    kept = ranked.filter(F.col("rn") == 1).select(
+    return url_dedup_rows(pages.select("url", "warc_ts")).select(
         "canonical_url",
         F.col("url").alias("kept_url"),
         F.col("warc_ts").alias("kept_ts"),
+        "n_snapshots",
     )
-    counts = canon.groupBy("canonical_url").agg(F.count("*").alias("n_snapshots"))
-    return kept.join(counts, "canonical_url")
