@@ -64,8 +64,8 @@ def main() -> None:
         if scols != ocols:
             problems.append(f"cols spark={scols} duckdb={ocols}")
         if not problems:
-            a = spdf[scols].applymap(norm) if hasattr(spdf, "applymap") else spdf[scols].map(norm)
-            b = odf[ocols].applymap(norm) if hasattr(odf, "applymap") else odf[ocols].map(norm)
+            a = spdf[scols].map(norm) if hasattr(spdf, "map") else spdf[scols].applymap(norm)
+            b = odf[ocols].map(norm) if hasattr(odf, "map") else odf[ocols].applymap(norm)
             sa = sorted(map(tuple, a.itertuples(index=False)))
             sb = sorted(map(tuple, b.itertuples(index=False)))
             if sa != sb:
