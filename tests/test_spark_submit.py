@@ -208,7 +208,7 @@ def test_submit_corpus_job_full_funnel(spark, tmp_path):
 
     m = submitlib.run_submit(
         os.path.join(tmp, "corpus_job.py"),
-        ["--pages", pages_dir, "--output", out],
+        ["--pages", pages_dir, "--output", out, "--annotate"],
         master="local[4]", zip_path=zip_path, cwd=tmp,
         conf={"spark.driver.memory": "4g"}, timeout=480,
     )
@@ -230,3 +230,15 @@ def test_submit_corpus_job_full_funnel(spark, tmp_path):
         """
     ).fetchone()
     assert (n_variant, n_mismatch) == (0, 0)
+
+    # --annotate attached the quality/lang/repetition columns, sane
+    cols = {r[0] for r in con.execute(
+        f"describe select * from '{out}/extracted/*.parquet'").fetchall()}
+    assert {"n_tokens", "pred_lang", "quality", "top_ngram_frac",
+            "dup_ngram_frac"} <= cols, cols
+    bad = con.execute(
+        f"""select count(*) from '{out}/extracted/*.parquet'
+            where n_tokens <= 0 or top_ngram_frac not between 0 and 1
+               or dup_ngram_frac not between 0 and 1"""
+    ).fetchone()[0]
+    assert bad == 0
