@@ -328,3 +328,85 @@ def test_components_reliable_checkpoint_path(spark, tmp_path):
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(
             sc._jvm.scala.Option.apply(None)
         )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints
+# ---------------------------------------------------------------------------
+def _winnow_ref(text, k, w):
+    """Plain-Python winnowing reference: md5-prefix gram hashes, min per
+    window, rightmost tie, distinct (pos, hash)."""
+    import hashlib
+
+    toks = text.split(" ")
+    if len(toks) < k:
+        return set()
+    h = [
+        int(hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()[:15], 16)
+        for i in range(len(toks) - k + 1)
+    ]
+    L = min(w, len(h))
+    out = set()
+    for s in range(max(len(h) - w, 0) + 1):
+        win = h[s:s + L]
+        m = min(win)
+        pos = s + L - 1 - win[::-1].index(m)
+        out.add((pos, m))
+    return out
+
+
+def test_winnowing_matches_reference_literal(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y"), (3, "p q r s t"),
+         (4, "a a a a a a a a")],  # all-equal hashes: rightmost tie rule
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in textstats.winnowing_fingerprints(docs, k=3, w=4).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.hash))
+    for did, text in [(1, "a b c d e f g h i j"), (2, "x y"),
+                      (3, "p q r s t"), (4, "a a a a a a a a")]:
+        assert got.get(did, set()) == _winnow_ref(text, 3, 4), did
+
+
+def test_winnowing_matches_duckdb(docs, duck):
+    k, w = 5, 4
+    got = {
+        tuple(r) for r in textstats.winnowing_fingerprints(docs, k=k, w=w).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duck.execute(f"""
+with t as (select doc_id, string_split(text,' ') toks from documents),
+g as (select doc_id,
+             [cast(('0x'||substr(md5(array_to_string(toks[i:i+{k}-1],' ')),1,15)) as ubigint)::bigint
+              for i in range(1, len(toks)-{k}+2)] h
+      from t where len(toks) >= {k}),
+wn as (select doc_id, h, len(h) n from g where len(h) > 0),
+f as (select doc_id, unnest([
+        {{'pos': s + least({w}, n)
+                 - list_position(list_reverse(h[s+1:s+least({w}, n)]),
+                                 list_min(h[s+1:s+least({w}, n)])),
+          'h': list_min(h[s+1:s+least({w}, n)])}}
+        for s in range(0, greatest(n-{w}, 0)+1)]) u
+      from wn)
+select distinct doc_id, u.pos::bigint pos, u.h hash from f
+""").fetchall()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_winnowing_coverage_guarantee(spark):
+    """Every length-(w+k-1) token stretch must contain >= 1 selected
+    fingerprint position (the winnowing guarantee)."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(40)}" for _ in range(300)]
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    k, w = 4, 5
+    pos = sorted(r.pos for r in textstats.winnowing_fingerprints(docs, k=k, w=w).collect())
+    n_grams = len(words) - k + 1
+    for s in range(n_grams - w + 1):
+        assert any(s <= p < s + w for p in pos), s

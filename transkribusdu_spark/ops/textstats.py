@@ -161,6 +161,55 @@ def repetition_stats(docs: DataFrame, top_n: int = 2, dup_n: int = 5) -> DataFra
     )
 
 
+def winnowing_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    scheme): hash every k-token gram (the pinned 60-bit md5-prefix hash,
+    so a SQL engine reproduces the selection bit-for-bit), then from
+    each window of ``w`` consecutive gram hashes select the minimum —
+    rightmost position on ties — and emit the distinct selected
+    ``(doc_id, pos, hash)`` triples. Guarantees every length-(w+k-1)
+    token stretch contributes a fingerprint, at ~2/(w+1) sample rate —
+    the local-similarity fingerprint set that full-text md5
+    (:func:`fingerprint`) cannot give.
+
+    All built-in array expressions (transform over sequence + array_min
+    + reverse/array_position for the rightmost tie), map-only until the
+    final distinct, whose shuffle key is (doc_id, pos, 8-byte hash).
+    Docs with fewer than ``k`` tokens emit nothing; with fewer than
+    ``k + w - 1`` tokens the single window spans every gram."""
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.conv(
+            F.substring(F.md5(F.array_join(F.slice(toks, i + 1, k), " ")), 1, 15),
+            16, 10,
+        ).cast("long"),
+    )
+    h = F.when(F.size(toks) >= k, grams).otherwise(F.array().cast("array<long>"))
+    n = F.size(h)
+    L = F.least(F.lit(w), n)
+    wins = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - w, F.lit(0))),
+            lambda s: F.struct(
+                (
+                    s + L - F.array_position(
+                        F.reverse(F.slice(h, s + 1, L)),
+                        F.array_min(F.slice(h, s + 1, L)),
+                    )
+                ).cast("long").alias("pos"),
+                F.array_min(F.slice(h, s + 1, L)).alias("hash"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:long,hash:long>>"))
+    return (
+        docs.select("doc_id", F.explode(wins).alias("fp"))
+        .select("doc_id", F.col("fp.pos").alias("pos"), F.col("fp.hash").alias("hash"))
+        .distinct()
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Content fingerprints: full-text md5 plus a normalized (sorted
     unique tokens) fingerprint — the classic dedup canonicalization."""
