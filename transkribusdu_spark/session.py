@@ -30,9 +30,21 @@ def engine_conf(shuffle_partitions: int | None = None) -> dict[str, str]:
         "spark.sql.adaptive.skewJoin.enabled": "true",
         # Arrow: the only sanctioned Python<->JVM data path.
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        # Bound per-batch memory for mapInPandas/applyInPandas over
-        # documents with large html payloads.
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
+        # Batch sizing for mapInPandas/applyInPandas: per-batch MEMORY is
+        # bounded by maxBytesPerBatch (Spark 4's direct knob — 32 MB
+        # keeps a giant-html batch from OOMing a worker, the job the old
+        # 512-row cap did indirectly), while the ROW cap is raised to
+        # 10k so narrow-row text kernels (minhash/simhash signatures,
+        # token factorize) amortize their per-batch numpy/factorize
+        # setup over real batches (guide §4.2; measured: simhash pairs
+        # 1.55 -> 1.26 s at 50k docs from this alone — 512-row batches
+        # were tuned for html payloads and starved every text kernel).
+        "spark.sql.execution.arrow.maxRecordsPerBatch": os.environ.get(
+            "SPARK_GRAFT_ARROW_ROWS", "10000"
+        ),
+        "spark.sql.execution.arrow.maxBytesPerBatch": os.environ.get(
+            "SPARK_GRAFT_ARROW_BYTES", str(32 * 1024 * 1024)
+        ),
         # Broadcast joins for small dims (fitted params, host tables).
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         # Scan split sizing for a PYTHON-PARSE-BOUND engine: the hot
