@@ -88,6 +88,12 @@ def main() -> None:
     else:
         pages = pages_from_documents(spark, args.sf_dir)
         snapshot = args.input_snapshot or f"synth:{args.sf_dir}"
+    # The raw pages table has THREE consumers before extraction
+    # materializes (pages_in count, after_url_dedup count, the
+    # extraction scan itself); persist it so funnel bookkeeping does not
+    # triple the input I/O at snapshot scale — released right after the
+    # extracted stage is materialized below.
+    raw_pages = pages.persist()
     funnel["pages_in"] = pages.count()
 
     t = time.monotonic()
@@ -106,6 +112,7 @@ def main() -> None:
     extracted = extract_from_pages(pages)
     extracted.persist()
     funnel["extracted"] = extracted.count()
+    raw_pages.unpersist()  # last pages consumer has materialized
     phases["extract_sec"] = round(time.monotonic() - t, 3)
 
     t = time.monotonic()

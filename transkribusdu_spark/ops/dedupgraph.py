@@ -30,10 +30,11 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# 2 * log2(10^12) ~ 80 rounds bounds any conceivable corpus; real
-# near-dup graphs converge in 2-4. The cap exists so a bug can never
+# 2 * log2(10^12) ~ 80 rounds bounds any conceivable corpus (the
+# alternating rounds converge in O(log^2 n) with a small constant; real
+# near-dup graphs converge in 2-4). The cap exists so a bug can never
 # loop forever, and hitting it raises instead of returning wrong labels.
-MAX_CC_ROUNDS = 40
+MAX_CC_ROUNDS = 80
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -111,34 +112,43 @@ def dedup_components(pairs: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> DataF
     nodes.count()  # materialize off the pre-loop edge set
 
     prev = edges
-    for _ in range(max_rounds):
-        nxt = _truncate(_small_star(_large_star(prev)))
-        # Convergence: identical edge sets. Both sides are distinct
-        # canonical sets, so |A| == |B| and |A \ B| == 0 iff A == B.
-        stable = (
-            nxt.count() == prev.count()
-            and nxt.exceptAll(prev).limit(1).count() == 0
-        )
-        if prev is not edges:
-            prev.unpersist()
-        prev = nxt
-        if stable:
-            break
-    else:
-        raise RuntimeError(
-            f"dedup_components did not converge in {max_rounds} rounds "
-            "(cap exists to surface bugs, not to truncate real graphs)"
-        )
+    try:
+        for _ in range(max_rounds):
+            nxt = _truncate(_small_star(_large_star(prev)))
+            # Convergence: identical edge sets. Both sides are distinct
+            # canonical sets, so |A| == |B| and |A \ B| == 0 iff A == B.
+            stable = (
+                nxt.count() == prev.count()
+                and nxt.exceptAll(prev).limit(1).count() == 0
+            )
+            if prev is not edges:
+                prev.unpersist()
+            prev = nxt
+            if stable:
+                break
+        else:
+            raise RuntimeError(
+                f"dedup_components did not converge in {max_rounds} rounds "
+                "(cap exists to surface bugs, not to truncate real graphs)"
+            )
 
-    # Stable state = stars: every non-root points directly at its
-    # component minimum; roots appear only on the v side.
-    labels = prev.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))
-    roots = nodes.join(
-        labels.select("doc_id"), "doc_id", "left_anti"
-    ).select("doc_id", F.col("doc_id").alias("component"))
-    out = labels.union(roots)
-    edges.unpersist()
-    return out
+        # Stable state = stars: every non-root points directly at its
+        # component minimum; roots appear only on the v side. Roots are
+        # materialized (checkpoint — the guard set is tiny: every >= 2
+        # node component's root already appears as v) so the returned
+        # plan reads only checkpointed data and BOTH persists can be
+        # released here instead of leaking into a long-lived session.
+        labels = prev.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))
+        roots = _truncate(
+            nodes.join(labels.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.col("doc_id").alias("component"))
+        )
+        return labels.union(roots)
+    finally:
+        # success AND failure paths: a repeated call in a long-lived
+        # session must not accumulate cached edge/node tables.
+        edges.unpersist()
+        nodes.unpersist()
 
 
 def dedup_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:

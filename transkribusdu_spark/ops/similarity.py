@@ -430,7 +430,12 @@ def _verified_bucket_pairs(
     m = len(ids)
     nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
     Mn = (M / np.where(nrm == 0.0, 1.0, nrm)[:, None]).astype(np.float32)
-    slack = np.float32(guard - 3e-5)
+    # Filter slack scales with dimension: float32 unit-dot error grows
+    # ~d * 2^-24, so the fixed 3e-5 band (ample at the default d = 64,
+    # where worst-case error is ~5e-6) would stop covering callers with
+    # d in the hundreds — max(3e-5, d * 2^-23) keeps a >= 2x margin over
+    # the worst case at any dimension. Unchanged for d <= 251.
+    slack = np.float32(guard - max(3e-5, M.shape[1] * 2.0 ** -23))
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
     out_c: list[np.ndarray] = []
@@ -560,6 +565,11 @@ def _scored_query_pairs(
     if prune:
         Qn = (Q / np.where(qn == 0.0, 1.0, qn)[:, None]).astype(np.float32)
         Mn = (M / np.where(mn == 0.0, 1.0, mn)[:, None]).astype(np.float32)
+        # k-th-best band scales with dimension like the verify slack:
+        # float32 unit-dot error ~d * 2^-24 per dot, two dots compared,
+        # so max(6e-5, d * 2^-22) keeps the band a strict superset of
+        # the exact one at any caller dimension (unchanged for d <= 251).
+        band = np.float32(max(6e-5, M.shape[1] * 2.0 ** -22))
     chunk = max(1, int(block_bytes // ((4 if prune else 8) * m)))
     out_q: list[np.ndarray] = []
     out_v: list[np.ndarray] = []
@@ -571,7 +581,7 @@ def _scored_query_pairs(
             S32 = Qn[lo:hi] @ Mn.T
             masked = np.where(nonself, S32, np.float32(-np.inf))
             kth = np.partition(masked, m - k, axis=1)[:, m - k]
-            keep = nonself & (S32 >= kth[:, None] - np.float32(6e-5))
+            keep = nonself & (S32 >= kth[:, None] - band)
             ia, ib = np.nonzero(keep)
             a = lo + ia
             cs = np.einsum("ij,ij->i", Q[a], M[ib]) / (qn[a] * mn[ib])

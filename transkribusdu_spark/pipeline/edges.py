@@ -96,6 +96,34 @@ def _los_pass(
     n = len(ids)
     if n < 2:
         return
+    if n < 32:
+        # Small pages (the common web-page case, ~10 regions): the whole
+        # pass runs numpy-free — Python round() is the same half-even
+        # rounding as np.round and sorted() the same stable (sweep,
+        # overlap) order as np.lexsort, so the candidate sweep and every
+        # emitted value are identical, without 4 array rounds + a
+        # lexsort whose fixed cost dominates at ~10 elements (measured
+        # crossover n~32; the preamble was ~25% of the edge kernel).
+        # Non-finite coordinates (NaN/Inf from garbage documents) make
+        # Python round() raise where np.round yields NaN — those docs
+        # fall back to the numpy path so their edge semantics are
+        # unchanged.
+        try:
+            ga1 = [round(v / GRID) * GRID for v in a1.tolist()]
+            ga2 = [round(v / GRID) * GRID for v in a2.tolist()]
+            gb1 = [round(v / GRID) * GRID for v in b1.tolist()]
+            gb2 = [round(v / GRID) * GRID for v in b2.tolist()]
+        except (ValueError, OverflowError):
+            pass  # non-finite coords: numpy path below
+        else:
+            order = sorted(range(n), key=lambda i: (gb1[i], ga1[i]))
+            yield from _los_small(
+                order,
+                [ga1[i] for i in order], [ga2[i] for i in order],
+                [gb1[i] for i in order], [gb2[i] for i in order],
+                mode,
+            )
+            return
     ga1 = np.round(a1 / GRID) * GRID
     ga2 = np.round(a2 / GRID) * GRID
     gb1 = np.round(b1 / GRID) * GRID
@@ -104,10 +132,12 @@ def _los_pass(
     order = np.lexsort((ga1, gb1))
     sa1, sa2, sb1, sb2 = ga1[order], ga2[order], gb1[order], gb2[order]
     if n < 32:
-        # Small pages (the common web-page case, ~10 regions): per-i
-        # numpy slicing costs more than it saves — a plain list scan is
-        # ~2x faster (measured crossover n~32). Identical output.
-        yield from _los_small(order, sa1, sa2, sb1, sb2, mode)
+        # non-finite-coordinate fallback: same scan over the numpy-
+        # rounded values (np.round yields NaN for NaN, as before)
+        yield from _los_small(
+            [int(i) for i in order],
+            sa1.tolist(), sa2.tolist(), sb1.tolist(), sb2.tolist(), mode,
+        )
         return
     # Band sweep: sb1 is sorted, so each block's candidates are a SUFFIX
     # of the sweep order (searchsorted jump to the first block starting
@@ -158,13 +188,12 @@ def _los_pass(
                 break  # watermark early-exit (graph/Block.py:562-565)
 
 
-def _los_small(order, sa1, sa2, sb1, sb2, mode: str):
-    """Small-n line-of-sight scan over plain Python floats (numpy scalar
-    arithmetic is ~10x slower per op than float); same candidate rule as
-    the band sweep: sb1 sorted -> candidates are a suffix."""
+def _los_small(order, la1, la2, lb1, lb2, mode: str):
+    """Small-n line-of-sight scan over plain Python numbers (numpy
+    scalar arithmetic is ~10x slower per op); same candidate rule as
+    the band sweep: lb1 sorted -> candidates are a suffix. All five
+    sequences are plain lists, already in sweep order."""
     n = len(order)
-    la1, la2 = sa1.tolist(), sa2.tolist()
-    lb1, lb2 = sb1.tolist(), sb2.tolist()
     for ii in range(n):
         i = int(order[ii])
         ai1, ai2 = la1[ii], la2[ii]
@@ -241,15 +270,19 @@ def doc_edges_arrays(
                     lh, ovh, _ = page_edges[kh]
                     if lv < 0 or lh < 0:
                         del page_edges[kv if ovv < ovh else kh]
-        for (etype, i, j), (length, ov, iou) in page_edges.items():
-            out["url"].append(url)
-            out["page_num"].append(int(p))
-            out["src"].append(ids[i])
-            out["dst"].append(ids[j])
-            out["etype"].append(etype)
-            out["length"].append(float(max(length, 0.0)))
-            out["overlap"].append(ov)
-            out["iou"].append(iou)
+        if page_edges:
+            # batch extends (one C call per column) instead of 8 appends
+            # per edge; dict iteration order = insertion order, so the
+            # emitted row order is unchanged
+            m = len(page_edges)
+            out["url"].extend([url] * m)
+            out["page_num"].extend([int(p)] * m)
+            out["src"].extend(ids[i] for (_, i, _) in page_edges)
+            out["dst"].extend(ids[j] for (_, _, j) in page_edges)
+            out["etype"].extend(e for (e, _, _) in page_edges)
+            out["length"].extend(float(max(v[0], 0.0)) for v in page_edges.values())
+            out["overlap"].extend(v[1] for v in page_edges.values())
+            out["iou"].extend(v[2] for v in page_edges.values())
     # Cross-page: consecutive pages, box IoU >= threshold, fully
     # vectorized (significantOverlap, graph/Block.py:212-278).
     for p in pages:
@@ -265,15 +298,17 @@ def doc_edges_arrays(
         with np.errstate(divide="ignore", invalid="ignore"):
             iou = np.where(union > 0, inter / union, 0.0)
         ii, jj = np.nonzero(iou >= CROSS_PAGE_IOU)
-        for i, j in zip(ii, jj):
-            out["url"].append(url)
-            out["page_num"].append(int(p))
-            out["src"].append(node_id[ra[i]])
-            out["dst"].append(node_id[rb[j]])
-            out["etype"].append("CP")
-            out["length"].append(0.0)
-            out["overlap"].append(0.0)
-            out["iou"].append(float(iou[i, j]))
+        m = len(ii)
+        if m:
+            # same row-major (ii, jj) order the per-pair loop emitted
+            out["url"].extend([url] * m)
+            out["page_num"].extend([int(p)] * m)
+            out["src"].extend(node_id[ra[ii]].tolist())
+            out["dst"].extend(node_id[rb[jj]].tolist())
+            out["etype"].extend(["CP"] * m)
+            out["length"].extend([0.0] * m)
+            out["overlap"].extend([0.0] * m)
+            out["iou"].extend(iou[ii, jj].tolist())
 
 
 def _empty_out() -> dict[str, list]:
