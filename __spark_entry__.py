@@ -405,14 +405,10 @@ def _q_extract_via_sources(spark, sf_dir):
 
 def _q_textstats_all(spark, sf_dir):
     """Token counting + language-ID + quality scoring + fingerprinting
-    in one wide per-document row (all four textstats operators)."""
-    d = _docs(spark, sf_dir)
-    return (
-        textstats.token_count(d)
-        .join(textstats.language_id(d), "doc_id")
-        .join(textstats.quality_score(d).drop("n_tokens"), "doc_id")
-        .join(textstats.fingerprint(d), "doc_id")
-    )
+    in one wide per-document row (all four textstats operators) — fused
+    into one map-only select (round 6): same expressions and column
+    order as the old 4-scan/3-join form, one scan, zero shuffles."""
+    return textstats.all_stats(_docs(spark, sf_dir))
 
 
 def _q_box_cuts(spark, sf_dir):

@@ -387,23 +387,34 @@ def minhash_lsh_pairs(
 
     sig = minhash_signatures(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
     rows_per_band = MINHASH_PERMS // LSH_BANDS
+    # ONE packed 64-bit join key per (doc, band): xxhash64 over (band
+    # index, the band's signature rows) — the band index rides inside
+    # the hash, so the self-join carries a single long instead of
+    # (band int, bucket int) pairs: narrower shuffle rows, one-column
+    # key compare, and 64-bit buckets admit ~2^32 x fewer accidental
+    # (different-signature) candidates than the old 32-bit bucket —
+    # collisions only ever ADD candidates (all emitted pairs are
+    # exact-verified below), so this can only shrink wasted verify work.
     bands = sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.hash(*[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]).alias("bucket"),
+                    F.xxhash64(
+                        F.lit(bi),
+                        *[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)],
                     )
                     for bi in range(LSH_BANDS)
                 ]
             )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+        ).alias("bucket"),
+    )
+    # No join-strategy hint: AQE picks broadcast while the band table is
+    # small and falls back to a shuffled join at corpus scale — the same
+    # let-AQE-choose contract the hot-shingle guard carries.
     cand = (
         bands.alias("x")
-        .join(bands.alias("y"), ["band", "bucket"])
+        .join(bands.alias("y"), "bucket")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()

@@ -210,6 +210,58 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame
     )
 
 
+def all_stats(docs: DataFrame) -> DataFrame:
+    """All four per-document textstats surfaces — token counting,
+    language ID, quality scoring, fingerprinting — in ONE map-only
+    select (no joins, one scan of the documents table).
+
+    Column-for-column the SAME expressions as :func:`token_count`,
+    :func:`language_id`, :func:`quality_score` (minus its ``n_tokens``)
+    and :func:`fingerprint`, in the column order their doc_id inner
+    joins produced — so the output is row-identical to the old
+    4-scan/3-join form (the DuckDB oracle still computes the join form)
+    while at corpus scale it reads the text exactly once and shuffles
+    nothing.
+    """
+    toks = F.split(F.col("text"), " ")
+    # token_count
+    n_sub = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int")
+    )
+    # language_id argmax with lexicographic tiebreak
+    best = None
+    for lang in sorted(LANG_MARKERS):
+        markers = LANG_MARKERS[lang]
+        cnt = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        cand = F.struct(cnt.alias("s"), F.lit(lang).alias("lang"))
+        best = cand if best is None else F.when(cand["s"] > best["s"], cand).otherwise(best)
+    # quality_score
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    mean_len = F.round(
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n, 6
+    )
+    num = (F.lit(3) * F.least(n, F.lit(100)) * n + F.lit(300) * n_distinct + F.lit(400) * n_stop)
+    score = F.round(num.cast("double") / (F.lit(1000.0) * n), 6)
+    # fingerprint
+    norm = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        n_sub.cast("long").alias("n_subwords"),
+        F.length("text").cast("long").alias("n_chars_seen"),
+        best["lang"].alias("pred_lang"),
+        best["s"].cast("long").alias("marker_hits"),
+        mean_len.alias("mean_token_len"),
+        F.round(n_distinct.cast("double") / n, 6).alias("type_token_ratio"),
+        F.round(n_stop.cast("double") / n, 6).alias("stopword_frac"),
+        score.alias("quality"),
+        F.md5(F.col("text")).alias("md5_text"),
+        F.md5(norm).alias("md5_normalized"),
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Content fingerprints: full-text md5 plus a normalized (sorted
     unique tokens) fingerprint — the classic dedup canonicalization."""

@@ -108,7 +108,13 @@ def _label_of(custom: str | None, type_attr: str | None) -> str:
 
 def node_text(nd: etree.Element) -> str:
     """Exact reference join semantics: ``" ".join(nd.itertext())``
-    (``xml_formats/PageXml.py:282-291``). The byte-identical surface."""
+    (``xml_formats/PageXml.py:282-291``). The byte-identical surface.
+    Leaf fast path: for a childless element ``itertext`` yields exactly
+    its truthy ``.text`` (or nothing), so the generator + join is
+    skipped — same bytes, ~2x less call overhead on the dominant
+    leaf-``<Unicode>`` case."""
+    if not len(nd):
+        return nd.text or ""
     return " ".join(nd.itertext())
 
 
