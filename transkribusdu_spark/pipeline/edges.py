@@ -117,7 +117,7 @@ def _los_pass(
             pass  # non-finite coords: numpy path below
         else:
             order = sorted(range(n), key=lambda i: (gb1[i], ga1[i]))
-            yield from _los_small(
+            yield from _los_small_segs(
                 order,
                 [ga1[i] for i in order], [ga2[i] for i in order],
                 [gb1[i] for i in order], [gb2[i] for i in order],
@@ -186,6 +186,73 @@ def _los_pass(
             _merge_into(seen, lo, hi)
             if _covered(ai1, ai2, seen):
                 break  # watermark early-exit (graph/Block.py:562-565)
+
+
+def _los_small_segs(order, la1, la2, lb1, lb2, mode: str):
+    """Finite-coordinate small-n scan that tracks the UNCOVERED part of
+    block i's overlap interval as a sorted disjoint segment list instead
+    of re-scanning a growing ``seen`` list per candidate
+    (:func:`_los_small`'s O(n) interval scans per j become O(|segs|)
+    with segs only ever SHRINKING, and the watermark early-exit is a
+    free emptiness test).
+
+    Bit-identical to the seen-list form for finite inputs: each
+    candidate's visible pieces are the SAME intervals ([lo,hi] minus the
+    union of earlier windows — endpoints are exact input floats, no
+    arithmetic) summed in the same left-to-right order, so every
+    emitted (visible, ov, iou, length) value matches to the bit. Only
+    the finite fast path calls this (its round() guard rejects NaN/Inf);
+    non-finite fallbacks keep :func:`_los_small`, whose NaN-propagation
+    quirks are the pinned semantics for garbage geometry."""
+    n = len(order)
+    for ii in range(n):
+        i = order[ii]
+        ai1, ai2 = la1[ii], la2[ii]
+        bot = lb2[ii]
+        len_i = ai2 - ai1
+        segs = [(ai1, ai2)] if ai2 > ai1 else []
+        start = ii + 1 if mode == "g1o" else 0
+        for jj in range(start, n):
+            if jj == ii:
+                continue
+            if mode != "g1o" and lb1[jj] < bot:
+                continue
+            lo = ai1 if ai1 > la1[jj] else la1[jj]
+            hi = ai2 if ai2 < la2[jj] else la2[jj]
+            if hi <= lo:
+                continue
+            # visible = ordered pieces of [lo,hi] not yet covered
+            visible = 0.0
+            touched = False
+            for a, b in segs:
+                if b <= lo or a >= hi:
+                    continue
+                touched = True
+                pa = lo if lo > a else a
+                pb = hi if hi < b else b
+                visible += pb - pa
+            if visible > 0.0:
+                len_j = la2[jj] - la1[jj]
+                ov = visible if mode == "g2" else hi - lo
+                iou = ov / (len_i + len_j - ov) if (len_i + len_j - ov) > 0 else 0.0
+                length = lb1[jj] - bot
+                if mode != "g1o":
+                    length = max(length, 0.0)
+                yield i, order[jj], float(length), float(ov), float(iou)
+            if touched:
+                nxt = []
+                for a, b in segs:
+                    if b <= lo or a >= hi:
+                        nxt.append((a, b))
+                    else:
+                        if a < lo:
+                            nxt.append((a, lo))
+                        if hi < b:
+                            nxt.append((hi, b))
+                segs = nxt
+                if not segs:
+                    break  # watermark early-exit: interval fully covered
+    return
 
 
 def _los_small(order, la1, la2, lb1, lb2, mode: str):
