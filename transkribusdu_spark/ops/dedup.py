@@ -296,23 +296,79 @@ def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     h_i = (a_i * h + b_i) mod (2^31 - 1), minimum over the doc's
     DISTINCT shingles.
 
-    Shape: one map-only Arrow kernel — token hashing is factorized and
-    the 64-permutation minimum is a single (64 x n_shingles) numpy
-    broadcast, replacing an exploded-shingle shuffle with 64 min-agg
-    columns (the heaviest dedup stage at 100k docs: 20s -> ~4s). The
-    hash choice only affects CANDIDATE recall — emitted pairs are
-    always verified with exact Jaccard — and the recall tests/oracles
-    gate that (docs with fewer than n tokens have no shingles and emit
-    no signature, as before).
+    Shape: one map-only Arrow kernel — token hashing is factorized, and
+    for the trigram default the whole batch vectorizes with NO per-doc
+    Python loop: one fused shingle mix over the concatenated token-hash
+    array, one gather of each doc's valid window, and 64
+    ``np.minimum.reduceat`` passes over doc boundaries (min over a
+    MULTISET equals min over the set, so the old per-doc ``np.unique``
+    was unnecessary — dropping it is what makes the segmented-min form
+    possible; values are bit-identical). Output rides back as one Arrow
+    ListArray built from the flat signature buffer. The hash choice
+    only affects CANDIDATE recall — emitted pairs are always verified
+    with exact Jaccard — and the recall tests/oracles gate that (docs
+    with fewer than n tokens have no shingles and emit no signature, as
+    before).
     """
     from typing import Iterator
 
     import numpy as np
     import pandas as pd
+    import pyarrow as pa
 
-    A = np.array(_PERM_A, dtype=np.int64)[:, None]
-    B = np.array(_PERM_B, dtype=np.int64)[:, None]
+    A = np.array(_PERM_A, dtype=np.int64)
+    B = np.array(_PERM_B, dtype=np.int64)
     ks = _mix_constants(n)
+
+    if n == 3:
+
+        def run3(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+            for rb in batches:
+                names = rb.schema.names
+                texts = rb.column(names.index("text")).to_pylist()
+                dids = rb.column(names.index("doc_id")).to_numpy(zero_copy_only=False)
+                th_all, bounds = _batch_token_hashes(texts)
+                th_all = th_all % MERSENNE_P
+                m = np.diff(bounds) - (n - 1)  # shingles per doc
+                keep = m > 0
+                if not keep.any():
+                    continue
+                # fused trigram mix over the WHOLE batch (sum < 2^62:
+                # the pinned constants keep products small enough); the
+                # 2 positions straddling each doc boundary are junk and
+                # excluded by the gather below.
+                sh_all = (
+                    th_all[:-2] * ks[0] + th_all[1:-1] * ks[1] + th_all[2:] * ks[2]
+                ) % MERSENNE_P
+                mk = m[keep]
+                out_starts = np.zeros(len(mk), dtype=np.int64)
+                np.cumsum(mk[:-1], out=out_starts[1:])
+                idx = (
+                    np.arange(int(mk.sum()), dtype=np.int64)
+                    - np.repeat(out_starts, mk)
+                    + np.repeat(bounds[:-1][keep], mk)
+                )
+                shv = sh_all[idx]
+                sigs = np.empty((MINHASH_PERMS, len(mk)), dtype=np.int64)
+                for i in range(MINHASH_PERMS):
+                    sigs[i] = np.minimum.reduceat(
+                        (A[i] * shv + B[i]) % MERSENNE_P, out_starts
+                    )
+                offsets = pa.array(
+                    np.arange(len(mk) + 1, dtype=np.int32) * MINHASH_PERMS,
+                    type=pa.int32(),
+                )
+                sig_col = pa.ListArray.from_arrays(
+                    offsets, pa.array(sigs.T.reshape(-1), type=pa.int64())
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(dids[keep], type=pa.int64()), sig_col],
+                    ["doc_id", "sig"],
+                )
+
+        return docs.select("doc_id", "text").mapInArrow(
+            run3, schema="doc_id long, sig array<long>"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -324,19 +380,13 @@ def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
                 if hi - lo < n:
                     continue
                 th = th_all[lo:hi]
-                if n == 3:
-                    # fused trigram fast path: one mod (sum < 2^62, the
-                    # pinned constants keep products small enough)
-                    sh = (th[:-2] * ks[0] + th[1:-1] * ks[1] + th[2:] * ks[2]) % MERSENNE_P
-                else:
-                    # general n-gram mix: sum_j k_j * th[j:], mod p each
-                    # step so partial sums stay < 2^62 under int64
-                    m = hi - lo - n + 1
-                    sh = np.zeros(m, dtype=np.int64)
-                    for j, kj in enumerate(ks):
-                        sh = (sh + th[j : j + m] * kj) % MERSENNE_P
-                sh = np.unique(sh)  # distinct shingles (trio-hash level)
-                sig = ((A * sh[None, :] + B) % MERSENNE_P).min(axis=1)
+                # general n-gram mix: sum_j k_j * th[j:], mod p each
+                # step so partial sums stay < 2^62 under int64
+                m = hi - lo - n + 1
+                sh = np.zeros(m, dtype=np.int64)
+                for j, kj in enumerate(ks):
+                    sh = (sh + th[j : j + m] * kj) % MERSENNE_P
+                sig = ((A[:, None] * sh[None, :] + B[:, None]) % MERSENNE_P).min(axis=1)
                 ids.append(doc_id)
                 sigs.append(sig.tolist())
             if ids:  # empty float64 frames can't cast to array<long>
