@@ -494,24 +494,20 @@ def minhash_lsh_pairs(
             sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"),
                         F.col("sz").alias("szb")), "doc_b")
     )
-
-    import numpy as np
-    import pandas as pd
-    from typing import Iterator
-
-    def intersect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            inter = [
-                int(np.intersect1d(sa, sb, assume_unique=True).size)
-                for sa, sb in zip(pdf["sa"], pdf["sb"])
-            ]
-            yield pd.DataFrame(
-                {"doc_a": pdf["doc_a"], "doc_b": pdf["doc_b"],
-                 "inter": inter, "sza": pdf["sza"], "szb": pdf["szb"]}
-            )
-
-    counted = joined.mapInPandas(
-        intersect, schema="doc_a long, doc_b long, inter long, sza long, szb long"
+    # Per-candidate intersection counted with the JVM built-in over the
+    # int64 hash-set arrays: both sides are distinct by construction, so
+    # size(array_intersect) IS the set-intersection count — identical to
+    # the numpy sorted-intersect kernel this replaces, without the
+    # per-query Python stage launch + Arrow round-trip it paid for a
+    # candidate stream that is tiny relative to the corpus (measured
+    # 3.10 -> 2.46 s interleaved on the 50k-doc bench query; the
+    # round-5 warning about interpreted array_intersect concerned
+    # STRING arrays on every doc — these are long arrays on candidates
+    # only).
+    counted = joined.select(
+        "doc_a", "doc_b",
+        F.size(F.array_intersect("sa", "sb")).cast("long").alias("inter"),
+        "sza", "szb",
     )
     return (
         counted.withColumn(
